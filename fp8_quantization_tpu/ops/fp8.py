@@ -1,0 +1,152 @@
+"""Simulated FP8 quantization as pure JAX functions.
+
+The paper's key identity: FP8 quantization is INT quantization with per-element
+power-of-2 scales ``2^(floor(log2|x|)+bias) - M - bias)`` derived from a
+(possibly per-channel, possibly learned) ``maxval`` and mantissa-bit count
+``M``  (reference: quantization/quantizers/fp8_quantizer.py:91-133).
+
+Everything here is shape-static, jit-friendly and differentiable: ``maxval``
+and ``mantissa_bits`` gradients flow exactly as in the reference (the
+``floor(log2|x|)`` term is stop-gradiented, mirroring ``.detach()`` at
+fp8_quantizer.py:128; rounding uses the STE).
+
+Grid enumeration helpers (the test oracle) mirror
+fp8_quantizer.py:13-50 (generate_all_values_fp / generate_all_float_values_scaled)
+and :82-88 (get_max_value).
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fp8_quantization_tpu.ops.rounding import round_ste
+
+
+def generate_all_values_fp(num_total_bits: int = 8, num_exponent_bits: int = 4,
+                           bias: int = 8) -> np.ndarray:
+    """Enumerate every representable value of an EmMn format (signed, subnormals).
+
+    Sorted ndarray of 2**num_total_bits values (±0 both present).  This is the
+    ground-truth grid used by tests and the analytical subsystem.
+    Reference: fp8_quantizer.py:13-41.
+    """
+    num_fraction_bits = num_total_bits - 1 - num_exponent_bits
+    all_values = []
+    for sign in (-1.0, 1.0):
+        for e_bits in product(*[[0, 1]] * num_exponent_bits):
+            e_enc = 0
+            for b in e_bits:
+                e_enc = 2 * e_enc + b
+            is_subnormal = 1 if (e_enc - bias) == -bias else 0
+            for f_bits in product(*[[0, 1]] * num_fraction_bits):
+                f_enc = 0
+                for b in f_bits:
+                    f_enc = 2 * f_enc + b
+                f_frac = f_enc * 2.0 ** -num_fraction_bits
+                f_eff = f_frac + 1 - is_subnormal
+                all_values.append(sign * 2.0 ** (e_enc - bias + is_subnormal) * f_eff)
+    return np.sort(np.array(all_values))
+
+
+def generate_all_float_values_scaled(num_total_bits: int, num_exp_bits: int,
+                                     exp_bias: int, range_limit_fp: float) -> np.ndarray:
+    """FP grid rescaled so its absmax equals ``range_limit_fp``.
+
+    Reference: fp8_quantizer.py:44-50.
+    """
+    grid = generate_all_values_fp(num_total_bits, num_exp_bits, exp_bias)
+    float_max_abs_val = np.max(np.abs(grid))
+    return grid / (float_max_abs_val / range_limit_fp)
+
+
+def get_max_value(num_exponent_bits: int = 4, bias: int = 8) -> float:
+    """Largest representable magnitude of an 8-bit EmMn format.
+
+    Reference: fp8_quantizer.py:82-88.
+    """
+    num_fraction_bits = 7 - num_exponent_bits
+    max_frac = 1.0 - 2.0 ** -num_fraction_bits
+    return 2.0 ** (2 ** num_exponent_bits - 1 - bias) * (1.0 + max_frac)
+
+
+def default_fp8_maxval(mantissa_bits: int, n_bits: int = 8) -> float:
+    """Default signed maxval ``(2 - 2^-M) * 2^(2^E - 1 - default_bias)``.
+
+    Reference: fp8_quantizer.py:173-179 (default_bias = 2^(E-1)).
+    """
+    ebits = n_bits - mantissa_bits - 1
+    default_bias = 2 ** (ebits - 1)
+    return (2.0 - 2.0 ** -mantissa_bits) * 2.0 ** (2 ** ebits - 1 - default_bias)
+
+
+def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
+                    n_bits: int = 8, sign_bits: int = 1,
+                    discretizer=round_ste) -> jax.Array:
+    """Fake-quantize ``x`` onto the FP8 grid defined by (maxval, mantissa_bits).
+
+    ``maxval`` must broadcast against ``x`` (scalar for per-tensor, or shaped
+    e.g. ``(1, 1, 1, O)`` for per-channel over an HWIO kernel — the caller owns
+    the channel-axis convention).  ``mantissa_bits`` is a float scalar; it is
+    STE-rounded and clamped to ``[1, n_bits - sign_bits]`` every call so it can
+    be learned (reference: fp8_quantizer.py:105).  ``sign_bits`` may be a
+    Python int or a traced 0/1 scalar (signedness is decided from data during
+    calibration, which runs under jit).
+
+    Exact port of the reference numerics (fp8_quantizer.py:91-133):
+      bias       = 2^E - log2(maxval) + log2(2 - 2^-M) - 1
+      xc         = clip(x, minval, maxval)
+      log_scales = clamp(floor(log2|xc| + bias).detach(), min=1)
+      scales     = 2^(log_scales - M - bias)
+      out        = round_ste(xc / scales) * scales
+    """
+    sign_bits_f = jnp.asarray(sign_bits, jnp.float32)
+    M = jnp.clip(round_ste(mantissa_bits), 1.0, float(n_bits) - sign_bits_f)
+    E = float(n_bits) - sign_bits_f - M
+
+    two_pow_E = 2.0 ** E
+    grid_top = 2.0 - 2.0 ** (-M)        # largest significand, 1.111...1
+    bias = two_pow_E - jnp.log2(maxval) + jnp.log2(grid_top) - 1.0
+
+    minval = jnp.where(sign_bits_f > 0, -maxval, jnp.zeros_like(maxval))
+    xc = jnp.minimum(jnp.maximum(x, minval), maxval)
+
+    # floor(log2|xc|) term is detached (STE w.r.t. the input), clamp min at 1.0
+    # keeps the subnormal range on the grid (reference note at :115-128).
+    log_scales = jnp.clip(
+        jax.lax.stop_gradient(jnp.floor(jnp.log2(jnp.abs(xc)) + bias)), 1.0, None)
+
+    # The reference computes scales = 2^(log_scales - M - bias) directly
+    # (fp8_quantizer.py:130).  We substitute the definition of bias so the
+    # exponent is integer-valued and the fractional part becomes the exact
+    # factor maxval / (2 - 2^-M):
+    #     2^(k - M - bias) = 2^(k - M - 2^E + 1) * maxval / (2 - 2^-M)
+    # This keeps inaccurate transcendentals (XLA's fast log2/exp2) confined to
+    # bin *selection* inside the floor — scale *values* are accurate to ~1 ulp
+    # instead of ~1e-4, and gradients w.r.t. maxval / mantissa_bits are
+    # algebraically identical to the reference formulation.
+    scales = 2.0 ** (log_scales - M - two_pow_E + 1.0) * (maxval / grid_top)
+
+    return discretizer(xc / scales) * scales
+
+
+def fp8_set_quant_range(x_min: jax.Array, x_max: jax.Array, *,
+                        allow_unsigned: bool = False):
+    """Derive (maxval, sign_bits) from an estimated range.
+
+    Returns ``maxval = |max(|x_min|, x_max)|`` and ``sign_bits`` (a traced 0/1
+    int32 scalar: 0 iff ``allow_unsigned`` and the whole range is
+    non-negative).  jit-safe: signedness stays a traced value.
+    Reference: fp8_quantizer.py:216-240 (set_quant_range/_make_unsigned).
+    """
+    x_min = jnp.asarray(x_min, jnp.float32)
+    x_max = jnp.asarray(x_max, jnp.float32)
+    maxval = jnp.abs(jnp.maximum(jnp.abs(x_min), x_max))
+    if allow_unsigned:
+        sign_bits = jnp.where(jnp.all(x_min >= 0), 0, 1).astype(jnp.int32)
+    else:
+        sign_bits = jnp.asarray(1, jnp.int32)
+    return maxval, sign_bits
