@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Throughput benchmark: FP8 PTQ ResNet-18 inference, images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the ratio of FP8 fake-quantized throughput to the FP32
+(unquantized) forward of the same model on the same chip — the cost of
+simulated quantization, which the fused engine drives toward (and past) 1.0.
+The reference publishes no throughput numbers (BASELINE.md), so FP32-on-chip
+is the measurable baseline.
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fp8tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench(fn, args, iters=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.models import resnet18_quantized
+    from fp8_quantization_tpu.nn.config import make_layer_config
+
+    batch = 128
+    config = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax")
+    model = resnet18_quantized(config, num_classes=1000)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(model, variables, [x])
+
+    fp8_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed"))
+    fp32_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
+                                               quant_w=False, quant_a=False))
+
+    t_fp8 = _bench(fp8_fn, (variables, x))
+    t_fp32 = _bench(fp32_fn, (variables, x))
+
+    ips = batch / t_fp8
+    print(json.dumps({
+        "metric": "resnet18_fp8_ptq_throughput_per_chip",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round((batch / t_fp8) / (batch / t_fp32), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+#!/usr/bin/env python
+"""ImageNet PTQ / QAT entry points — counterpart of the reference's
+``image_net.py`` (reference: image_net.py:28-100).  Flag names match the
+reference CLI (utils/click_options.py) for repro parity; the ``--cuda`` flag
+becomes ``--platform`` (tpu/cpu), and new TPU-only flags add the mesh shape.
+
+Commands:
+  validate-quantized   calibrate -> fix ranges -> (optional BN re-est) -> eval
+  train-quantized      QAT fine-tune through the STE (the path the reference
+                       ships infrastructure for but never wires, SURVEY.md §3.4)
+"""
+
+import json
+import logging
+import os
+import sys
+from pathlib import Path
+
+import click
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+logging.basicConfig(level=os.environ.get("LOGLEVEL", "INFO"))
+log = logging.getLogger("image_net")
+
+
+def _quant_options(f):
+    opts = [
+        click.option("--images-dir", type=str, default=None,
+                     help="ImageNet root with train/ and val/ (synthetic data "
+                          "when omitted)"),
+        click.option("--architecture", type=click.Choice(
+            ["mobilenet_v2_quantized", "resnet18_quantized",
+             "resnet50_quantized"]), default="resnet18_quantized"),
+        click.option("--model-dir", type=str, default=None,
+                     help="torch checkpoint (.pth/.tar) to convert and load"),
+        click.option("--batch-size", type=int, default=64),
+        click.option("--num-workers", type=int, default=8),
+        click.option("--seed", type=int, default=10),
+        click.option("--platform", type=str, default=None,
+                     help="force jax platform (cpu/tpu)"),
+        click.option("--data-parallel", type=int, default=1,
+                     help="mesh 'data' axis size (chips)"),
+        click.option("--model-parallel", type=int, default=1,
+                     help="mesh 'model' axis size (tensor parallel)"),
+        # quantization_options (click_options.py:320-440)
+        click.option("--qmethod", type=click.Choice(
+            ["symmetric_uniform", "asymmetric_uniform", "fp_quantizer"]),
+            default="fp_quantizer"),
+        click.option("--qmethod-act", type=str, default=None),
+        click.option("--n-bits", type=int, default=8),
+        click.option("--n-bits-act", type=int, default=None),
+        click.option("--per-channel/--no-per-channel", default=False),
+        click.option("--percentile", type=float, default=None),
+        click.option("--weight-quant-method", type=click.Choice(
+            ["current_minmax", "allminmax", "running_minmax", "MSE"]),
+            default="current_minmax"),
+        click.option("--act-quant-method", type=click.Choice(
+            ["current_minmax", "allminmax", "running_minmax", "MSE"]),
+            default="allminmax"),
+        click.option("--act-momentum", type=float, default=None),
+        click.option("--quant-setup", type=click.Choice(
+            ["all", "FP_logits", "fc4", "fc4_dw8", "LSQ", "LSQ_paper"]),
+            default="all"),
+        click.option("--weight-quant/--no-weight-quant", default=True),
+        click.option("--act-quant/--no-act-quant", default=True),
+        click.option("--num-est-batches", type=int, default=1),
+        click.option("--quantize-input/--no-quantize-input", default=False),
+        # fp8_options (click_options.py:443-474)
+        click.option("--fp8-maxval", type=float, default=None),
+        click.option("--fp8-mantissa-bits", type=int, default=4),
+        click.option("--fp8-set-maxval/--no-fp8-set-maxval", default=False),
+        click.option("--fp8-learn-maxval/--no-fp8-learn-maxval", default=False),
+        click.option("--fp8-learn-mantissa-bits/--no-fp8-learn-mantissa-bits",
+                     default=False),
+        click.option("--fp8-mse-include-mantissa-bits/"
+                     "--no-fp8-mse-include-mantissa-bits", default=True),
+        click.option("--fp8-allow-unsigned/--no-fp8-allow-unsigned",
+                     default=False),
+    ]
+    for o in reversed(opts):
+        f = o(f)
+    return f
+
+
+def _setup(kw):
+    """Common setup: platform, config, model, data, variables."""
+    if kw["platform"]:
+        import jax
+        jax.config.update("jax_platforms", kw["platform"])
+    import jax
+
+    from fp8_quantization_tpu.data.imagenet import make_dataloaders
+    from fp8_quantization_tpu.models import QUANT_ARCHITECTURES
+    from fp8_quantization_tpu.nn.config import make_layer_config
+
+    config = make_layer_config(
+        qmethod=kw["qmethod"], act_qmethod=kw["qmethod_act"],
+        n_bits=kw["n_bits"], n_bits_act=kw["n_bits_act"],
+        per_channel_weights=kw["per_channel"],
+        weight_range_method=kw["weight_quant_method"],
+        act_range_method=kw["act_quant_method"],
+        percentile=kw["percentile"], act_momentum=kw["act_momentum"],
+        quantize_input=kw["quantize_input"],
+        fp8_maxval=kw["fp8_maxval"], fp8_mantissa_bits=kw["fp8_mantissa_bits"],
+        fp8_set_maxval=kw["fp8_set_maxval"],
+        fp8_learn_maxval=kw["fp8_learn_maxval"],
+        fp8_learn_mantissa_bits=kw["fp8_learn_mantissa_bits"],
+        fp8_mse_include_mantissa_bits=kw["fp8_mse_include_mantissa_bits"],
+        fp8_allow_unsigned=kw["fp8_allow_unsigned"])
+
+    arch = kw["architecture"]
+    model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])
+    train_data, val_data = make_dataloaders(
+        kw["images_dir"], batch_size=kw["batch_size"],
+        num_workers=kw["num_workers"], seed=kw["seed"])
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(kw["seed"]), x0)
+
+    if kw["model_dir"]:
+        from fp8_quantization_tpu.models.convert import (
+            convert_mobilenet_v2, convert_resnet, load_torch_state_dict,
+            merge_variables)
+
+        sd = load_torch_state_dict(kw["model_dir"])
+        if arch == "mobilenet_v2_quantized":
+            params, stats = convert_mobilenet_v2(sd)
+        else:
+            stages = (2, 2, 2, 2) if "18" in arch else (3, 4, 6, 3)
+            params, stats = convert_resnet(sd, stages, bottleneck="50" in arch)
+        variables = merge_variables(variables, params, stats)
+        log.info("loaded torch checkpoint %s", kw["model_dir"])
+    elif kw["images_dir"]:
+        log.warning("no --model-dir given: evaluating randomly-initialized "
+                    "weights (accuracy will be chance level)")
+
+    mesh = None
+    if kw["data_parallel"] * kw["model_parallel"] > 1:
+        from fp8_quantization_tpu.parallel import make_mesh
+        mesh = make_mesh(data=kw["data_parallel"], model=kw["model_parallel"])
+    return model, config, variables, train_data, val_data, mesh
+
+
+@click.group()
+def fp8_cmd_group():
+    pass
+
+
+@fp8_cmd_group.command()
+@_quant_options
+@click.option("--reestimate-bn-stats/--no-reestimate-bn-stats", default=False)
+@click.option("--max-eval-batches", type=int, default=None)
+def validate_quantized(**kw):
+    """PTQ: calibrate ranges, freeze, evaluate top-1/top-5/loss.
+
+    Reference: image_net.py:36-97 (validate_quantized).
+    """
+    model, config, variables, train_data, val_data, mesh = _setup(kw)
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
+
+    cal_data = ([b for b in val_data][:kw["num_est_batches"]]
+                if train_data is None else train_data)
+    if mesh is not None:
+        from fp8_quantization_tpu.parallel import (
+            calibrate_sharded, evaluate_sharded)
+        variables = calibrate_sharded(
+            model, variables, cal_data, mesh,
+            num_batches=kw["num_est_batches"],
+            tensor_parallel=kw["model_parallel"] > 1)
+    else:
+        variables = calibrate(model, variables, cal_data,
+                              num_batches=kw["num_est_batches"],
+                              quant_w=kw["weight_quant"],
+                              quant_a=kw["act_quant"])
+    log.info("calibration done (%d batches)", kw["num_est_batches"])
+
+    if kw["reestimate_bn_stats"]:
+        from fp8_quantization_tpu.training import reestimate_bn_stats
+        n = max(1, int(0.02 * len(cal_data)))  # 2% of train (image_net.py:87-91)
+        variables = reestimate_bn_stats(model, variables, cal_data,
+                                        num_batches=n)
+        log.info("BN stats re-estimated on %d batches", n)
+
+    if mesh is not None:
+        from fp8_quantization_tpu.parallel import evaluate_sharded
+        metrics = evaluate_sharded(model, variables, val_data, mesh,
+                                   tensor_parallel=kw["model_parallel"] > 1,
+                                   max_batches=kw["max_eval_batches"])
+    else:
+        metrics = evaluate(model, variables, val_data,
+                           quant_w=kw["weight_quant"],
+                           quant_a=kw["act_quant"],
+                           max_batches=kw["max_eval_batches"])
+    print(json.dumps(metrics))
+
+
+@fp8_cmd_group.command()
+@_quant_options
+@click.option("--optimizer", type=str, default="SGD")
+@click.option("--learning-rate", type=float, default=1e-3)
+@click.option("--momentum", type=float, default=0.9)
+@click.option("--weight-decay", type=float, default=0.0)
+@click.option("--learning-rate-schedule", type=str, default=None,
+              help="e.g. multistep:10:20 or cosine:1:0.01")
+@click.option("--max-epochs", type=int, default=1)
+@click.option("--sep-quant-optimizer/--no-sep-quant-optimizer", default=False)
+@click.option("--quant-optimizer", type=str, default="Adam")
+@click.option("--quant-learning-rate", type=float, default=1e-5)
+@click.option("--learn-ranges/--estimate-ranges-train", "learn_ranges",
+              default=True,
+              help="learn ranges through the STE vs keep re-estimating "
+                   "(Qstates learn_ranges vs estimate_ranges_train)")
+@click.option("--reestimate-bn-stats/--no-reestimate-bn-stats", default=True)
+@click.option("--grad-scaling/--no-grad-scaling", default=False)
+@click.option("--save-checkpoint-dir", type=str, default=None)
+@click.option("--max-train-batches", type=int, default=None,
+              help="cap batches per epoch (smoke tests)")
+def train_quantized(**kw):
+    """QAT: fine-tune weights + quant ranges through the STE.
+
+    Wires the reference's dormant QAT infrastructure end to end
+    (SURVEY.md §3.4: qat_utils + optimizer_utils + supervised_driver).
+    """
+    model, config, variables, train_data, val_data, mesh = _setup(kw)
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
+    from fp8_quantization_tpu.training import (
+        init_qat_state, make_optimizer, make_train_step, reestimate_bn_stats,
+        train_epoch)
+
+    variables = calibrate(model, variables, train_data,
+                          num_batches=kw["num_est_batches"])
+
+    steps_per_epoch = len(train_data) if hasattr(train_data, "__len__") else 1000
+    model_tx = make_optimizer(kw["optimizer"], kw["learning_rate"],
+                              momentum=kw["momentum"],
+                              weight_decay=kw["weight_decay"],
+                              scheduler=kw["learning_rate_schedule"],
+                              max_steps=steps_per_epoch * kw["max_epochs"])
+    quant_tx = (make_optimizer(kw["quant_optimizer"], kw["quant_learning_rate"])
+                if kw["sep_quant_optimizer"] else None)
+    state, aux = init_qat_state(variables, config, model_tx, quant_tx)
+    if mesh is not None:
+        from fp8_quantization_tpu.parallel import shard_qat_state
+        state = shard_qat_state(mesh, state,
+                                tensor_parallel=kw["model_parallel"] > 1)
+
+    mode = "learn" if kw["learn_ranges"] else "calibrate_train"
+    step_fn = make_train_step(model, aux, mode=mode)
+
+    def _batches():
+        for i, b in enumerate(train_data):
+            if kw["max_train_batches"] and i >= kw["max_train_batches"]:
+                break
+            yield b
+
+    for epoch in range(kw["max_epochs"]):
+        state, metrics = train_epoch(model, state, aux, _batches(),
+                                     mode=mode, step_fn=step_fn)
+        log.info("epoch %d: %s", epoch, metrics)
+
+        eval_vars = state.variables()
+        if kw["reestimate_bn_stats"]:
+            eval_vars = reestimate_bn_stats(model, eval_vars, _batches(),
+                                            num_batches=50)
+        val_metrics = evaluate(model, eval_vars, val_data)
+        log.info("epoch %d val: %s", epoch, val_metrics)
+
+        if kw["save_checkpoint_dir"]:
+            from fp8_quantization_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(kw["save_checkpoint_dir"], state, step=epoch)
+
+    print(json.dumps(val_metrics))
+
+
+if __name__ == "__main__":
+    fp8_cmd_group()

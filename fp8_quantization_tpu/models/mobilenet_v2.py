@@ -1,0 +1,181 @@
+"""Quantized MobileNetV2 (tonylins variant) in Flax (NHWC / HWIO).
+
+Topology mirrors the reference's models/mobilenet_v2.py (width-mult table at
+:74-83, AvgPool2d inside features at :101) as quantized by
+models/mobilenet_v2_quantized.py: every conv+bn(+relu6) window is a BN-fused
+quantized conv; residual blocks end with add -> block activation quantizer
+(:21-26); the avg pool is quantized by the *tied* quantizer of the final
+1x1 conv without range update (tie_activation_quantizers,
+autoquant_utils.py:309-336); classifier = dropout + quantized linear.
+
+The final conv's output quantizer is hoisted to the model scope so the
+avgpool tie is plain linen module re-use (same trick as resnet.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.layers import QuantConv, QuantizedActivation, QuantLinear
+
+# (expand_ratio t, channels c, repeats n, stride s) — mobilenet_v2.py:74-83
+INVERTED_RESIDUAL_SETTING = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+
+class QuantInvertedResidual(nn.Module):
+    """[pw-expand + relu6] -> dw + relu6 -> pw-linear, optional residual.
+
+    Reference: mobilenet_v2.py:27-65 + mobilenet_v2_quantized.py:15-26.
+    ``dw_config`` allows the fc4_dw8 preset's depthwise override (:52-60).
+    """
+
+    features: int
+    strides: Tuple[int, int]
+    expand_ratio: int
+    config: LayerQuantConfig
+    dw_config: Optional[LayerQuantConfig] = None
+    block_act_config: Optional[LayerQuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a, train_bn=train_bn)
+        inp = x.shape[-1]
+        hidden = round(inp * self.expand_ratio)
+        use_res = self.strides == (1, 1) and inp == self.features
+
+        y = x
+        if self.expand_ratio != 1:
+            y = QuantConv(features=hidden, kernel_size=(1, 1), strides=(1, 1),
+                          padding=((0, 0), (0, 0)), bn=True, activation="relu6",
+                          config=self.config, name="expand")(y, **kw)
+        y = QuantConv(features=hidden, kernel_size=(3, 3), strides=self.strides,
+                      padding=((1, 1), (1, 1)), feature_group_count=hidden,
+                      bn=True, activation="relu6",
+                      config=self.dw_config or self.config, name="dw")(y, **kw)
+        y = QuantConv(features=self.features, kernel_size=(1, 1), strides=(1, 1),
+                      padding=((0, 0), (0, 0)), bn=True, activation=None,
+                      config=self.config, name="project")(y, **kw)
+
+        if use_res:
+            y = x + y
+            y = QuantizedActivation(config=self.block_act_config or self.config,
+                                    name="block_act")(y, mode=mode, quant_a=quant_a)
+        return y
+
+
+class QuantizedMobileNetV2(nn.Module):
+    num_classes: int = 1000
+    width_mult: float = 1.0
+    # override for reduced variants (tests / ablations); default = paper table
+    settings: Tuple[Tuple[int, int, int, int], ...] = INVERTED_RESIDUAL_SETTING
+    config: LayerQuantConfig = LayerQuantConfig()
+    stem_config: Optional[LayerQuantConfig] = None
+    head_config: Optional[LayerQuantConfig] = None       # final 1x1 conv
+    fc_config: Optional[LayerQuantConfig] = None         # classifier linear
+    dw_config: Optional[LayerQuantConfig] = None         # depthwise convs
+    block_act_config: Optional[LayerQuantConfig] = None  # residual-add quant
+    tie_avgpool: bool = True
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a, train_bn=train_bn)
+        cfg = self.config
+        input_channel = int(32 * self.width_mult)
+        last_channel = (int(1280 * self.width_mult)
+                        if self.width_mult > 1.0 else 1280)
+
+        x = QuantConv(features=input_channel, kernel_size=(3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)), bn=True, activation="relu6",
+                      config=self.stem_config or cfg, name="stem")(x, **kw)
+
+        for i, (t, c, n, s) in enumerate(self.settings):
+            out_c = int(c * self.width_mult)
+            for b in range(n):
+                strides = (s, s) if b == 0 else (1, 1)
+                x = QuantInvertedResidual(
+                    features=out_c, strides=strides, expand_ratio=t, config=cfg,
+                    dw_config=self.dw_config,
+                    block_act_config=self.block_act_config,
+                    name=f"block{i}_{b}")(x, **kw)
+
+        # final 1x1 conv: its output quantizer is hoisted here so the avgpool
+        # can re-use it (tied, no range update)
+        head_cfg = self.head_config or cfg
+        x = QuantConv(features=last_channel, kernel_size=(1, 1), strides=(1, 1),
+                      padding=((0, 0), (0, 0)), bn=True, activation="relu6",
+                      config=head_cfg.fp32_acts() if not head_cfg.quantize_input
+                      else head_cfg,
+                      name="head")(x, **kw)
+        head_q = QuantizedActivation(config=head_cfg, name="head_act")
+        if not head_cfg.quantize_input:
+            x = head_q(x, mode=mode, quant_a=quant_a)
+
+        x = jnp.mean(x, axis=(1, 2))
+        if self.tie_avgpool and not head_cfg.quantize_input:
+            x = head_q(x, mode=mode, quant_a=quant_a, update_range=False)
+
+        x = QuantLinear(features=self.num_classes, use_bias=True,
+                        config=self.fc_config or cfg, name="classifier")(x, **kw)
+        return x
+
+
+def mobilenet_v2_configs(base: LayerQuantConfig, quant_setup: Optional[str]):
+    """quant_setup presets -> per-layer overrides.
+
+    Reference: mobilenet_v2_quantized.py:45-85.
+    """
+    setup = quant_setup or "all"
+    cfgs = dict(config=base, stem_config=None, head_config=None, fc_config=None,
+                dw_config=None, block_act_config=None, tie_avgpool=True)
+    if setup == "all":
+        return cfgs
+    if setup == "FP_logits":
+        cfgs["fc_config"] = base.fp32_acts()
+        return cfgs
+    if setup == "fc4":
+        cfgs["stem_config"] = base.with_weight_bits(8)
+        cfgs["fc_config"] = base.with_weight_bits(4)
+        return cfgs
+    if setup == "fc4_dw8":
+        cfgs["stem_config"] = base.with_weight_bits(8)
+        cfgs["fc_config"] = base.with_weight_bits(4)
+        cfgs["dw_config"] = base.with_weight_bits(8)
+        return cfgs
+    if setup == "LSQ":
+        cfgs["stem_config"] = base.with_weight_bits(8)
+        cfgs["head_config"] = base.with_act_bits(8)
+        cfgs["fc_config"] = base.with_weight_bits(8).fp32_acts()
+        return cfgs
+    if setup == "LSQ_paper":
+        qin = base.replace(quantize_input=True)
+        cfgs["config"] = qin
+        cfgs["stem_config"] = qin.with_weight_bits(8).fp32_acts()
+        cfgs["head_config"] = qin
+        cfgs["block_act_config"] = qin.fp32_acts()
+        cfgs["fc_config"] = qin.with_weight_bits(8).with_act_bits(8)
+        cfgs["tie_avgpool"] = False
+        return cfgs
+    raise ValueError(
+        f"Quantization setup '{setup}' not supported for MobilenetV2")
+
+
+def mobilenetv2_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
+                          num_classes: int = 1000, width_mult: float = 1.0,
+                          settings=INVERTED_RESIDUAL_SETTING) -> QuantizedMobileNetV2:
+    return QuantizedMobileNetV2(num_classes=num_classes, width_mult=width_mult,
+                                settings=settings,
+                                **mobilenet_v2_configs(base, quant_setup))

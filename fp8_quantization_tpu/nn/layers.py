@@ -1,0 +1,373 @@
+"""Quantized Flax layers: the compute path of the framework.
+
+These replace the reference's forward-hook "hijacker" machinery
+(hijacker.py:32-112, quantized_folded_bn.py:12-68, autoquant_utils.py:20-174)
+with explicit modules whose forward is, per layer:
+
+    [input act-quant]  ->  weight fake-quant  ->  conv/linear (MXU)
+    -> BN (fp32, own running stats)  ->  fused activation  ->  [output act-quant]
+
+TPU-first details:
+  * NHWC activations / HWIO kernels (XLA's native TPU conv layout).
+  * ``matmul_dtype=None`` (default) computes the conv/matmul in fp32 —
+    bit-parity with the reference's F.conv2d on fake-quantized operands.
+    The speed path is NOT a bf16 cast here (fake-quant outputs are
+    scale*int products with full fp32 mantissas, so a cast is lossy);
+    it is the factored engine in ops/pallas/ + engine.py, which quantizes to
+    the *normalized* integer grid (exact in bf16), runs the MXU matmul at
+    2x fp32 throughput, and applies the scales in the epilogue.
+  * BN running stats live in the ``batch_stats`` collection; momentum
+    semantics match torch's F.batch_norm (new = (1-m)*old + m*batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fp8_quantization_tpu.nn.activations import get_activation
+from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.quantizers import Quantizer
+
+Dtype = Any
+
+
+def _maybe_cast(x, w, matmul_dtype):
+    if matmul_dtype is None:
+        return x, w
+    return x.astype(matmul_dtype), w.astype(matmul_dtype)
+
+
+class QuantizedLayerBase(nn.Module):
+    """Shared quantizer plumbing (counterpart of QuantizationHijacker)."""
+
+    config: LayerQuantConfig = LayerQuantConfig()
+    activation: Optional[str] = None
+    matmul_dtype: Optional[Dtype] = None
+
+    def _act_quantizer(self) -> Quantizer:
+        return Quantizer(spec=self.config.act_quant,
+                         range_spec=self.config.act_range, name="act_q")
+
+    def _weight_quantizer(self, num_channels: int) -> Quantizer:
+        return Quantizer(spec=self.config.weight_quant,
+                         range_spec=self.config.weight_range,
+                         num_channels=num_channels if self.config.weight_quant.per_channel
+                         else None,
+                         channel_axis=-1, name="weight_q")
+
+    def _quant_in(self, x, mode, quant_a):
+        if self.config.quantize_input and quant_a and self.config.quant_a:
+            return self._act_quantizer()(x, mode=mode)
+        return x
+
+    def _quant_w(self, w, mode, quant_w, num_channels):
+        if quant_w and self.config.quant_w:
+            return self._weight_quantizer(num_channels)(w, mode=mode)
+        return w
+
+    def _quant_out(self, y, mode, quant_a):
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        if (not self.config.quantize_input) and quant_a and self.config.quant_a:
+            y = self._act_quantizer()(y, mode=mode)
+        return y
+
+    # ---- engine paths -----------------------------------------------------
+
+    def _engine_operands(self, x, kernel, mode, quant_w, num_channels):
+        """(xm, wm, w_factor) honoring config.engine.
+
+        'bf16'/'pallas': weights fake-quantized onto the normalized grid
+        (exact in bf16, ops/quantizer.apply_factored), activations cast to
+        bf16; the per-channel factor multiplies the matmul output.
+        """
+        eng = self.config.engine
+        if quant_w and self.config.quant_w:
+            wq_mod = self._weight_quantizer(num_channels)
+            if eng in ("bf16", "pallas"):
+                wn, w_factor = wq_mod(kernel, mode=mode, out="factored")
+                return (x.astype(jnp.bfloat16), wn.astype(jnp.bfloat16),
+                        w_factor)
+            w = wq_mod(kernel, mode=mode)
+            xm, wm = _maybe_cast(x, w, self.matmul_dtype)
+            return xm, wm, None
+        if eng in ("bf16", "pallas"):
+            return x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), None
+        xm, wm = _maybe_cast(x, kernel, self.matmul_dtype)
+        return xm, wm, None
+
+    def _pallas_supported(self, mode, train_bn) -> bool:
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+
+        cfg = self.config
+        if cfg.engine != "pallas" or mode != "fixed" or train_bn:
+            return False
+        if self.activation not in (None, "relu", "relu6"):
+            return False
+        if cfg.quant_w and cfg.weight_quant.method not in (
+                QMethod.fp_quantizer, QMethod.symmetric_uniform):
+            return False
+        if cfg.quant_a and (cfg.act_quant.method not in (
+                QMethod.fp_quantizer, QMethod.asymmetric_uniform)
+                or cfg.act_quant.per_channel):
+            return False
+        return True
+
+    def _pallas_forward(self, x2d, kernel2d, features, mode, quant_w, quant_a,
+                        bn, bn_eps, use_bias):
+        """Fused quant-matmul for (M, K) x (K, N) with bias/BN + activation
+        + act quant in the kernel epilogue (ops/pallas/qmatmul.py)."""
+        from fp8_quantization_tpu.ops.pallas import (
+            FusedQuantMatmulConfig, fused_quant_matmul)
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+
+        cfg = self.config
+        ones = jnp.ones((features,), jnp.float32)
+        zeros = jnp.zeros((features,), jnp.float32)
+
+        # weight quantizer state
+        w_method = "none"
+        w_channel, w_scalars = ones, jnp.zeros((2,), jnp.float32)
+        if quant_w and cfg.quant_w:
+            _, wstate = self._weight_quantizer(features)(
+                kernel2d, mode=mode, out="state")
+            if cfg.weight_quant.method == QMethod.fp_quantizer:
+                w_method = "fp8"
+                w_channel = jnp.broadcast_to(
+                    wstate["maxval"].reshape(-1), (features,)) \
+                    if cfg.weight_quant.per_channel else \
+                    jnp.full((features,), wstate["maxval"].reshape(()))
+                w_scalars = jnp.stack([
+                    wstate["mantissa_bits"].astype(jnp.float32),
+                    wstate["sign_bits"].astype(jnp.float32)])
+            else:  # symmetric_uniform
+                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+                w_method = "int_sym"
+                scale = _scale_from_delta(wstate["delta"],
+                                          cfg.weight_quant.scale_domain,
+                                          cfg.weight_quant.eps)
+                w_channel = (jnp.broadcast_to(scale.reshape(-1), (features,))
+                             if cfg.weight_quant.per_channel
+                             else jnp.full((features,), scale.reshape(())))
+
+        # act quantizer state (input-quant or output-quant)
+        a_method = "none"
+        a_scalars = jnp.zeros((3,), jnp.float32)
+        if quant_a and cfg.quant_a:
+            _, astate = self._act_quantizer()(x2d, mode=mode, out="state")
+            if cfg.act_quant.method == QMethod.fp_quantizer:
+                a_method = "fp8"
+                a_scalars = jnp.stack([
+                    astate["maxval"].reshape(()),
+                    astate["mantissa_bits"].astype(jnp.float32),
+                    astate["sign_bits"].astype(jnp.float32)])
+            else:  # asymmetric_uniform
+                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+                a_method = "int_asym"
+                a_scalars = jnp.stack([
+                    _scale_from_delta(astate["delta"].reshape(()),
+                                      cfg.act_quant.scale_domain,
+                                      cfg.act_quant.eps),
+                    astate["zero_float"].reshape(()),
+                    jnp.asarray(0.0, jnp.float32)])
+
+        # epilogue: bias or BN-with-running-stats folded to scale/shift
+        scale, shift = ones, zeros
+        if bn:
+            gamma = self.param("gamma", nn.initializers.ones,
+                               (features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (features,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(features, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(features, jnp.float32))
+            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+            scale, shift = inv, beta - ra_mean.value * inv
+        elif use_bias:
+            shift = self.param("bias", nn.initializers.zeros,
+                               (features,), jnp.float32)
+
+        kcfg = FusedQuantMatmulConfig(
+            weight_method=w_method, act_method=a_method,
+            quantize_input=cfg.quantize_input, activation=self.activation,
+            n_bits=cfg.weight_quant.n_bits, act_n_bits=cfg.act_quant.n_bits)
+        return fused_quant_matmul(x2d, kernel2d, w_channel, w_scalars,
+                                  a_scalars, scale, shift, cfg=kcfg)
+
+
+def _batch_norm(mdl: nn.Module, y, features: int, eps: float, momentum: float,
+                train_bn: bool):
+    """fp32 BN after the quantized op — reference parity
+    (quantized_folded_bn.py:39-48: weights quantized pre-BN-scaling;
+    BN keeps its own running stats / gamma / beta in full precision)."""
+    gamma = mdl.param("gamma", nn.initializers.ones, (features,), jnp.float32)
+    beta = mdl.param("beta", nn.initializers.zeros, (features,), jnp.float32)
+    ra_mean = mdl.variable("batch_stats", "mean",
+                           lambda: jnp.zeros(features, jnp.float32))
+    ra_var = mdl.variable("batch_stats", "var",
+                          lambda: jnp.ones(features, jnp.float32))
+    if train_bn and not mdl.is_initializing():
+        axes = tuple(range(y.ndim - 1))
+        mean = jnp.mean(y, axis=axes)
+        var = jnp.var(y, axis=axes)
+        n = y.size / features
+        # torch F.batch_norm updates running_var with the *unbiased* batch var
+        ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
+        ra_var.value = ((1 - momentum) * ra_var.value
+                        + momentum * var * n / max(n - 1, 1))
+    else:
+        mean, var = ra_mean.value, ra_var.value
+    inv = jax.lax.rsqrt(var + eps) * gamma
+    return y * inv + (beta - mean * inv)
+
+
+class QuantConv(QuantizedLayerBase):
+    """Quantized 2-D convolution, optionally BN-fused.
+
+    Reference: QuantConv / BNQConv (autoquant_utils.py:33-43,107-117) +
+    BNFusedHijacker (quantized_folded_bn.py:12-68).
+    """
+
+    features: int = 0
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = ((0, 0), (0, 0))
+    feature_group_count: int = 1
+    use_bias: bool = False
+    bn: bool = False
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (*self.kernel_size, in_features // self.feature_group_count,
+             self.features), jnp.float32)
+
+        # fully fused Pallas path: 1x1 conv == matmul (MobileNetV2's dominant
+        # op); quant + matmul + BN/bias + act + out-quant in one kernel
+        if (self._pallas_supported(mode, train_bn)
+                and self.kernel_size == (1, 1) and self.strides == (1, 1)
+                and self.feature_group_count == 1
+                and self.padding in ("VALID", ((0, 0), (0, 0)))):
+            n, h, w_, c = x.shape
+            y2d = self._pallas_forward(
+                x.reshape(-1, c), kernel.reshape(c, self.features),
+                self.features, mode, quant_w, quant_a,
+                self.bn, self.bn_eps, self.use_bias)
+            return y2d.reshape(n, h, w_, self.features)
+
+        x = self._quant_in(x, mode, quant_a)
+        xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
+                                                 self.features)
+        y = jax.lax.conv_general_dilated(
+            xm, wm, window_strides=self.strides, padding=self.padding,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y.astype(jnp.float32)
+        if w_factor is not None:
+            y = y * w_factor          # (1,1,1,O) or scalar, see apply_factored
+
+        if self.bn:
+            y = self._bn(y, train_bn)
+        elif self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+        return self._quant_out(y, mode, quant_a)
+
+    def _bn(self, y, train_bn: bool):
+        return _batch_norm(self, y, self.features, self.bn_eps,
+                           self.bn_momentum, train_bn)
+
+
+class QuantLinear(QuantizedLayerBase):
+    """Quantized dense layer.  Reference: QuantLinear (autoquant_utils.py:89-91),
+    BNQLinear (:120-122)."""
+
+    features: int = 0
+    use_bias: bool = True
+    bn: bool = False
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (in_features, self.features), jnp.float32)
+
+        if self._pallas_supported(mode, train_bn):
+            return self._pallas_forward(x, kernel, self.features, mode,
+                                        quant_w, quant_a, self.bn,
+                                        self.bn_eps, self.use_bias)
+
+        x = self._quant_in(x, mode, quant_a)
+        xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
+                                                 self.features)
+        y = jnp.dot(xm, wm, preferred_element_type=jnp.float32).astype(jnp.float32)
+        if w_factor is not None:
+            y = y * w_factor
+
+        if self.bn:
+            y = _batch_norm(self, y, self.features, self.bn_eps,
+                            self.bn_momentum, train_bn)
+        elif self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+        return self._quant_out(y, mode, quant_a)
+
+
+class QuantLayerNorm(QuantizedLayerBase):
+    """Quantized LayerNorm (gamma quantized as the 'weight').
+
+    Reference: QuantLayerNorm (autoquant_utils.py:166-174) — present for
+    transformer-style models; unused by the CNN zoo.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, **_):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        x = self._quant_in(x, mode, quant_a)
+        w = self._quant_w(scale, mode, quant_w, features)
+
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * w + bias
+        return self._quant_out(y, mode, quant_a)
+
+
+class QuantizedActivation(nn.Module):
+    """Standalone activation quantizer (e.g. after a residual add).
+
+    Reference: QuantizedActivation (base_quantized_classes.py:156-173).
+    """
+
+    config: LayerQuantConfig = LayerQuantConfig()
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_a: bool = True,
+                 update_range: bool = True):
+        if quant_a and self.config.quant_a:
+            return Quantizer(spec=self.config.act_quant,
+                             range_spec=self.config.act_range,
+                             name="act_q")(x, mode=mode, update_range=update_range)
+        return x

@@ -85,7 +85,7 @@ def default_fp8_maxval(mantissa_bits: int, n_bits: int = 8) -> float:
 
 def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
                     n_bits: int = 8, sign_bits: int = 1,
-                    discretizer=round_ste) -> jax.Array:
+                    discretizer=round_ste, normalized: bool = False) -> jax.Array:
     """Fake-quantize ``x`` onto the FP8 grid defined by (maxval, mantissa_bits).
 
     ``maxval`` must broadcast against ``x`` (scalar for per-tensor, or shaped
@@ -128,9 +128,17 @@ def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
     # bin *selection* inside the floor — scale *values* are accurate to ~1 ulp
     # instead of ~1e-4, and gradients w.r.t. maxval / mantissa_bits are
     # algebraically identical to the reference formulation.
-    scales = 2.0 ** (log_scales - M - two_pow_E + 1.0) * (maxval / grid_top)
+    pow2 = 2.0 ** (log_scales - M - two_pow_E + 1.0)
+    scales = pow2 * (maxval / grid_top)
 
-    return discretizer(xc / scales) * scales
+    m = discretizer(xc / scales)
+    if normalized:
+        # value on the *pure binary* FP8 grid: an (M+1)-bit significand times
+        # a power of two — EXACT in bfloat16.  The caller re-applies the
+        # channel factor maxval/(2 - 2^-M) after the matmul; this is what
+        # lets the MXU run at bf16 rate with zero added quantization error.
+        return m * pow2
+    return m * scales
 
 
 def fp8_set_quant_range(x_min: jax.Array, x_max: jax.Array, *,

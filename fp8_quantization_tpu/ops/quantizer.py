@@ -146,6 +146,44 @@ def apply(spec: QuantizerSpec, state: QuantState, x: jax.Array, *,
     raise ValueError(f"unknown method {spec.method}")
 
 
+def apply_factored(spec: QuantizerSpec, state: QuantState, x: jax.Array, *,
+                   channel_axis: int = -1, discretizer=round_ste):
+    """Fake-quantize onto the *normalized* grid: returns ``(x_norm, factor)``
+    with ``fake_quant(x) == x_norm * factor`` and ``x_norm`` EXACT in
+    bfloat16 (an <=8-bit-significand value).
+
+    This is the engine decomposition (nn/layers.py engine='bf16'/'pallas'):
+    the matmul runs on ``x_norm`` in bf16 at 2x fp32 MXU rate with zero
+    added error; ``factor`` (per-channel or scalar) folds into the epilogue.
+    """
+    if spec.is_fp8:
+        maxval = _broadcast(state["maxval"], x.ndim, channel_axis)
+        sign_bits_f = jnp.asarray(state["sign_bits"], jnp.float32)
+        M = jnp.clip(round_ste(state["mantissa_bits"]), 1.0,
+                     float(spec.n_bits) - sign_bits_f)
+        x_norm = fp8_ops.quantize_to_fp8(
+            x, maxval, state["mantissa_bits"], n_bits=spec.n_bits,
+            sign_bits=state["sign_bits"], discretizer=discretizer,
+            normalized=True)
+        return x_norm, maxval / (2.0 - 2.0 ** -M)
+    if spec.method == QMethod.symmetric_uniform:
+        delta = _broadcast(state["delta"], x.ndim, channel_axis)
+        scale = uniform_ops._scale_from_delta(delta, spec.scale_domain, spec.eps)
+        int_min, int_max = uniform_ops.symmetric_int_bounds(
+            spec.n_bits, state["signed"])
+        x_norm = jnp.clip(discretizer(x / scale), int_min, int_max)
+        return x_norm, scale
+    if spec.method == QMethod.asymmetric_uniform:
+        delta = _broadcast(state["delta"], x.ndim, channel_axis)
+        zero_float = _broadcast(state["zero_float"], x.ndim, channel_axis)
+        scale = uniform_ops._scale_from_delta(delta, spec.scale_domain, spec.eps)
+        int_min, int_max = uniform_ops.asymmetric_int_bounds(spec.n_bits)
+        zp = jnp.clip(jnp.round(zero_float), int_min, int_max)
+        x_int = jnp.clip(discretizer(x / scale) + zp, int_min, int_max)
+        return x_int - zp, scale
+    raise ValueError(f"unknown method {spec.method}")
+
+
 def set_quant_range(spec: QuantizerSpec, state: QuantState, x_min, x_max) -> QuantState:
     """New state with ranges set from (x_min, x_max) (1-D per-channel or scalar).
 

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("FP8TPU_TEST_PLATFORM", "cpu"))
+
+# Persistent compilation cache: full-model CPU compiles dominate suite time
+# (~20-60s each); cache hits cut repeat runs to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fp8tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
