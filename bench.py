@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Throughput benchmark: FP8 PTQ ResNet-18 inference, images/sec/chip.
 
+Uses the 'bf16' engine: fake-quantized operands decomposed onto the
+normalized grid (exact in bfloat16) so the MXU runs at bf16 rate with zero
+added quantization error vs the fp32 parity engine (see
+ops/quantizer.apply_factored and tests/test_engines.py).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the ratio of FP8 fake-quantized throughput to the FP32
 (unquantized) forward of the same model on the same chip — the cost of
@@ -41,7 +46,7 @@ def main():
     config = make_layer_config(
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
-        act_range_method="allminmax")
+        act_range_method="allminmax", engine="bf16")
     model = resnet18_quantized(config, num_classes=1000)
 
     rng = np.random.RandomState(0)

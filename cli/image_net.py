@@ -77,6 +77,17 @@ def _quant_options(f):
                      "--no-fp8-mse-include-mantissa-bits", default=True),
         click.option("--fp8-allow-unsigned/--no-fp8-allow-unsigned",
                      default=False),
+        # TPU-native extensions (no reference counterpart)
+        click.option("--engine", type=click.Choice(["parity", "bf16", "pallas"]),
+                     default="parity",
+                     help="compute engine: parity=fp32 reference semantics, "
+                          "bf16=normalized-grid MXU, pallas=fused kernels"),
+        click.option("--bn-mode", type=click.Choice(["fp32_after", "folded"]),
+                     default="fp32_after",
+                     help="BN after quantized conv (reference parity) or "
+                          "folded into per-channel weight scales (deployment)"),
+        click.option("--grad-estimator", type=click.Choice(
+            ["ste", "stoch_round", "ewgs", "stacked_sigmoid"]), default="ste"),
     ]
     for o in reversed(opts):
         f = o(f)
@@ -107,7 +118,9 @@ def _setup(kw):
         fp8_learn_maxval=kw["fp8_learn_maxval"],
         fp8_learn_mantissa_bits=kw["fp8_learn_mantissa_bits"],
         fp8_mse_include_mantissa_bits=kw["fp8_mse_include_mantissa_bits"],
-        fp8_allow_unsigned=kw["fp8_allow_unsigned"])
+        fp8_allow_unsigned=kw["fp8_allow_unsigned"],
+        engine=kw["engine"], bn_mode=kw["bn_mode"],
+        grad_estimator=kw["grad_estimator"])
 
     arch = kw["architecture"]
     model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])

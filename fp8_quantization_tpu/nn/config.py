@@ -83,6 +83,7 @@ def make_layer_config(
     fp8_allow_unsigned: bool = False,
     bn_mode: str = "fp32_after",
     engine: str = "parity",
+    grad_estimator: str = "ste",
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -100,7 +101,8 @@ def make_layer_config(
             set_maxval=fp8_set_maxval, learn_maxval=fp8_learn_maxval,
             learn_mantissa_bits=fp8_learn_mantissa_bits,
             mse_include_mantissa_bits=fp8_mse_include_mantissa_bits,
-            allow_unsigned=fp8_allow_unsigned)
+            allow_unsigned=fp8_allow_unsigned,
+            grad_estimator=grad_estimator)
 
     weight_range = EstimatorSpec(kind=RangeEstimators(weight_range_method),
                                  percentile=percentile)

@@ -118,8 +118,29 @@ class QuantizedLayerBase(nn.Module):
             return False
         return True
 
+    def _bn_folded_kernel(self, kernel, features, bn_eps):
+        """bn_mode='folded': BN scale folded into the weights *before*
+        quantization (the paper's deployment assumption — per-channel weight
+        scale absorbs gamma/sqrt(var+eps); changes numerics vs 'fp32_after',
+        SURVEY.md §7 hard parts).  Returns (folded_kernel, shift).
+
+        Uses running stats: folding is an inference-time transform
+        (the reference's BNFusedHijacker keeps BN separate for training).
+        """
+        gamma = self.param("gamma", nn.initializers.ones,
+                           (features,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros,
+                          (features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+        shape = [1] * (kernel.ndim - 1) + [features]
+        return kernel * inv.reshape(shape), beta - ra_mean.value * inv
+
     def _pallas_forward(self, x2d, kernel2d, features, mode, quant_w, quant_a,
-                        bn, bn_eps, use_bias):
+                        bn, bn_eps, use_bias, shift_override=None):
         """Fused quant-matmul for (M, K) x (K, N) with bias/BN + activation
         + act quant in the kernel epilogue (ops/pallas/qmatmul.py)."""
         from fp8_quantization_tpu.ops.pallas import (
@@ -178,7 +199,9 @@ class QuantizedLayerBase(nn.Module):
 
         # epilogue: bias or BN-with-running-stats folded to scale/shift
         scale, shift = ones, zeros
-        if bn:
+        if shift_override is not None:
+            shift = shift_override
+        elif bn:
             gamma = self.param("gamma", nn.initializers.ones,
                                (features,), jnp.float32)
             beta = self.param("beta", nn.initializers.zeros,
@@ -253,17 +276,30 @@ class QuantConv(QuantizedLayerBase):
             (*self.kernel_size, in_features // self.feature_group_count,
              self.features), jnp.float32)
 
+        folded_shift = None
+        if self.bn and self.config.bn_mode == "folded":
+            if train_bn:
+                raise ValueError("bn_mode='folded' is an inference-time mode; "
+                                 "train with bn_mode='fp32_after'")
+            kernel, folded_shift = self._bn_folded_kernel(
+                kernel, self.features, self.bn_eps)
+
         # fully fused Pallas path: 1x1 conv == matmul (MobileNetV2's dominant
         # op); quant + matmul + BN/bias + act + out-quant in one kernel
         if (self._pallas_supported(mode, train_bn)
                 and self.kernel_size == (1, 1) and self.strides == (1, 1)
                 and self.feature_group_count == 1
-                and self.padding in ("VALID", ((0, 0), (0, 0)))):
+                and self.padding in ("VALID", ((0, 0), (0, 0)))
+                # fused kernel wins on deep/narrow 1x1s (late MobileNet
+                # layers); tall-skinny early layers tile better as XLA convs
+                and x.shape[0] * x.shape[1] * x.shape[2] <= 32768
+                and x.shape[-1] >= 256):
             n, h, w_, c = x.shape
             y2d = self._pallas_forward(
                 x.reshape(-1, c), kernel.reshape(c, self.features),
                 self.features, mode, quant_w, quant_a,
-                self.bn, self.bn_eps, self.use_bias)
+                self.bn and folded_shift is None, self.bn_eps, self.use_bias,
+                shift_override=folded_shift)
             return y2d.reshape(n, h, w_, self.features)
 
         x = self._quant_in(x, mode, quant_a)
@@ -278,7 +314,9 @@ class QuantConv(QuantizedLayerBase):
         if w_factor is not None:
             y = y * w_factor          # (1,1,1,O) or scalar, see apply_factored
 
-        if self.bn:
+        if folded_shift is not None:
+            y = y + folded_shift
+        elif self.bn:
             y = self._bn(y, train_bn)
         elif self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
@@ -308,10 +346,19 @@ class QuantLinear(QuantizedLayerBase):
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (in_features, self.features), jnp.float32)
 
+        folded_shift = None
+        if self.bn and self.config.bn_mode == "folded":
+            if train_bn:
+                raise ValueError("bn_mode='folded' is an inference-time mode; "
+                                 "train with bn_mode='fp32_after'")
+            kernel, folded_shift = self._bn_folded_kernel(
+                kernel, self.features, self.bn_eps)
+
         if self._pallas_supported(mode, train_bn):
-            return self._pallas_forward(x, kernel, self.features, mode,
-                                        quant_w, quant_a, self.bn,
-                                        self.bn_eps, self.use_bias)
+            return self._pallas_forward(
+                x, kernel, self.features, mode, quant_w, quant_a,
+                self.bn and folded_shift is None, self.bn_eps, self.use_bias,
+                shift_override=folded_shift)
 
         x = self._quant_in(x, mode, quant_a)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
@@ -320,7 +367,9 @@ class QuantLinear(QuantizedLayerBase):
         if w_factor is not None:
             y = y * w_factor
 
-        if self.bn:
+        if folded_shift is not None:
+            y = y + folded_shift
+        elif self.bn:
             y = _batch_norm(self, y, self.features, self.bn_eps,
                             self.bn_momentum, train_bn)
         elif self.use_bias:

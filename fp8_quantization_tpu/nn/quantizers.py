@@ -89,7 +89,33 @@ class Quantizer(nn.Module):
             state = jax.tree.map(jax.lax.stop_gradient, state)
         if out == "state":
             return x, state
+        disc = self._discretizer(mode)
         if out == "factored":
             return q.apply_factored(self.spec, state, x,
-                                    channel_axis=self.channel_axis)
-        return q.apply(self.spec, state, x, channel_axis=self.channel_axis)
+                                    channel_axis=self.channel_axis,
+                                    discretizer=disc)
+        return q.apply(self.spec, state, x, channel_axis=self.channel_axis,
+                       discretizer=disc)
+
+    def _discretizer(self, mode: str):
+        """Rounding op per the spec's gradient estimator (QAT surrogates:
+        stochastic / EWGS / stacked-sigmoid; reference rounding_utils.py).
+        Stochastic rounding draws from the 'quant_noise' rng stream in
+        training modes and falls back to round-to-nearest in eval
+        (rounding_utils.py:140-148)."""
+        from fp8_quantization_tpu.ops.rounding import (
+            make_discretizer, round_ste)
+
+        spec = self.spec
+        if spec.grad_estimator == "ste":
+            return round_ste
+        training = mode in ("learn", "calibrate_train")
+        key = None
+        if (spec.grad_estimator == "stoch_round" and training
+                and self.has_rng("quant_noise")):
+            key = self.make_rng("quant_noise")
+        return make_discretizer(
+            spec.grad_estimator, scaling_factor=spec.ewgs_scaling,
+            alpha=spec.ss_alpha, key=key,
+            training=training and (key is not None
+                                   or spec.grad_estimator != "stoch_round"))

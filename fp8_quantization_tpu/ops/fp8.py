@@ -83,9 +83,29 @@ def default_fp8_maxval(mantissa_bits: int, n_bits: int = 8) -> float:
     return (2.0 - 2.0 ** -mantissa_bits) * 2.0 ** (2 ** ebits - 1 - default_bias)
 
 
+def _floor_log2_exact(y: jax.Array) -> jax.Array:
+    """floor(log2(y)) for positive finite y via IEEE-754 exponent extraction.
+
+    One bitcast + shift/mask on the VPU instead of a polynomial log2 —
+    faster AND exact (the transcendental log2 can mis-select the bin within
+    ~1 ulp of a power of two).  Subnormals and 0 map to -127, which the
+    caller's clamp-at-1 turns into the smallest scale (the value then rounds
+    to 0, same as the reference's log2(0) = -inf path).
+    """
+    bits = jax.lax.bitcast_convert_type(y, jnp.int32)
+    return (((bits >> 23) & 0xFF) - 127).astype(jnp.float32)
+
+
+def _exp2_int_exact(k: jax.Array) -> jax.Array:
+    """2**k for integer-valued float k in [-126, 127], exactly, via bitcast."""
+    ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+
+
 def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
                     n_bits: int = 8, sign_bits: int = 1,
-                    discretizer=round_ste, normalized: bool = False) -> jax.Array:
+                    discretizer=round_ste, normalized: bool = False,
+                    impl: str = "bitcast") -> jax.Array:
     """Fake-quantize ``x`` onto the FP8 grid defined by (maxval, mantissa_bits).
 
     ``maxval`` must broadcast against ``x`` (scalar for per-tensor, or shaped
@@ -116,8 +136,19 @@ def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
 
     # floor(log2|xc|) term is detached (STE w.r.t. the input), clamp min at 1.0
     # keeps the subnormal range on the grid (reference note at :115-128).
-    log_scales = jnp.clip(
-        jax.lax.stop_gradient(jnp.floor(jnp.log2(jnp.abs(xc)) + bias)), 1.0, None)
+    if impl == "bitcast":
+        # floor(log2|xc| + bias) == floor(log2(|xc| * 2^frac(bias))) + floor(bias):
+        # fold the fractional part of the (per-channel) bias into one multiply,
+        # then read the exponent field directly — no per-element transcendentals.
+        bias_int = jnp.floor(bias)
+        bias_frac_pow2 = jnp.exp2(bias - bias_int)
+        y = jnp.abs(xc) * bias_frac_pow2
+        log_scales = jnp.clip(
+            jax.lax.stop_gradient(_floor_log2_exact(y) + bias_int), 1.0, None)
+    else:
+        log_scales = jnp.clip(
+            jax.lax.stop_gradient(jnp.floor(jnp.log2(jnp.abs(xc)) + bias)),
+            1.0, None)
 
     # The reference computes scales = 2^(log_scales - M - bias) directly
     # (fp8_quantizer.py:130).  We substitute the definition of bias so the
@@ -128,7 +159,17 @@ def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
     # bin *selection* inside the floor — scale *values* are accurate to ~1 ulp
     # instead of ~1e-4, and gradients w.r.t. maxval / mantissa_bits are
     # algebraically identical to the reference formulation.
-    pow2 = 2.0 ** (log_scales - M - two_pow_E + 1.0)
+    if impl == "bitcast":
+        # exact power-of-two construction via the exponent field.  The traced
+        # factor exp2(g - g_det) is 1.0 exactly in value but carries the
+        # d/dM gradient of the exponent (log_scales is detached either way),
+        # so learn_mantissa_bits works identically to the log2 formulation.
+        g = -M - two_pow_E + 1.0
+        g_det = jax.lax.stop_gradient(g)
+        pow2 = jax.lax.stop_gradient(_exp2_int_exact(log_scales + g_det)) \
+            * jnp.exp2(g - g_det)
+    else:
+        pow2 = 2.0 ** (log_scales - M - two_pow_E + 1.0)
     scales = pow2 * (maxval / grid_top)
 
     m = discretizer(xc / scales)

@@ -64,6 +64,11 @@ class QuantizerSpec:
     learn_mantissa_bits: bool = False
     mse_include_mantissa_bits: bool = True
     allow_unsigned: bool = False
+    # QAT gradient estimator for the rounding op (rounding_utils.py:158-162):
+    # "ste" | "stoch_round" | "ewgs" | "stacked_sigmoid"
+    grad_estimator: str = "ste"
+    ewgs_scaling: float = 0.2
+    ss_alpha: float = 1.0
 
     def replace(self, **kw) -> "QuantizerSpec":
         return dataclasses.replace(self, **kw)

@@ -202,8 +202,12 @@ def make_train_step(model, aux: Dict, *, mode: str = "learn",
                          "quant": merge_quant(qtrain, state.quant_frozen)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            # per-step rng stream for stochastic-rounding discretizers
+            rngs = {"quant_noise": jax.random.fold_in(
+                jax.random.PRNGKey(17), state.step)}
             logits, updates = model.apply(
-                variables, x, mode=mode, train_bn=train_bn, mutable=mutable)
+                variables, x, mode=mode, train_bn=train_bn, mutable=mutable,
+                rngs=rngs)
             return loss_fn(logits, y), (logits, updates)
 
         (loss, (logits, updates)), (gp, gq) = jax.value_and_grad(

@@ -147,3 +147,75 @@ def test_unsigned_promotion():
     assert int(state["sign_bits"]) == 0
     state2 = set_quant_range(spec, init_state(spec), -1.0, 5.0)
     assert int(state2["sign_bits"]) == 1
+
+
+class TestBitcastImpl:
+    """impl='bitcast' (exact exponent extraction) vs impl='log2' (reference
+    formulation): identical quantized outputs, including near bin edges."""
+
+    def _check(self, x, maxval, mbits, sign_bits=1):
+        from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+
+        a = quantize_to_fp8(x, maxval, jnp.asarray(float(mbits)),
+                            sign_bits=sign_bits, impl="bitcast")
+        b = quantize_to_fp8(x, maxval, jnp.asarray(float(mbits)),
+                            sign_bits=sign_bits, impl="log2")
+        # bitcast scales are exact powers of two; the log2 formulation can
+        # be ~1 ulp off, so allow that much
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+        return np.asarray(a)
+
+    def test_random_tensors_match(self):
+        rng = np.random.RandomState(0)
+        for mbits in (2, 3, 4, 5):
+            x = jnp.asarray(rng.normal(0, 3, (4096,)), jnp.float32)
+            self._check(x, jnp.asarray(7.3), mbits)
+
+    def test_per_channel_maxval_match(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.normal(0, 1, (64, 16)), jnp.float32)
+        maxval = jnp.asarray(np.abs(rng.normal(1, 0.5, (1, 16))), jnp.float32)
+        self._check(x, maxval, 4)
+
+    def test_powers_of_two_and_edges(self):
+        vals = []
+        for e in range(-10, 10):
+            for eps in (-1e-7, 0.0, 1e-7):
+                vals.append(2.0 ** e * (1.0 + eps))
+        x = jnp.asarray(vals + [0.0, 1e-30, -1e-30, 3.0], jnp.float32)
+        out = self._check(x, jnp.asarray(8.0), 3)
+        assert np.all(np.isfinite(out))
+
+    def test_bitcast_lands_on_enumerated_grid(self):
+        """Default-maxval quantization must land exactly on the FP8 grid."""
+        from fp8_quantization_tpu.ops.fp8 import (
+            default_fp8_maxval, generate_all_values_fp, quantize_to_fp8)
+
+        mbits, ebits = 4, 3
+        maxval = default_fp8_maxval(mbits)
+        grid = generate_all_values_fp(8, ebits, 2 ** (ebits - 1))
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.normal(0, maxval / 2, (2048,)), jnp.float32)
+        out = np.asarray(quantize_to_fp8(x, jnp.asarray(maxval),
+                                         jnp.asarray(float(mbits)),
+                                         impl="bitcast"))
+        dists = np.min(np.abs(out[:, None] - grid[None, :]), axis=1)
+        np.testing.assert_allclose(dists, 0, atol=1e-7)
+
+    def test_gradients_match_log2_impl(self):
+        from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.normal(0, 2, (256,)), jnp.float32)
+
+        def loss(impl, maxval, mbits):
+            return jnp.sum(quantize_to_fp8(x, maxval, mbits, impl=impl) ** 2)
+
+        for arg in (0, 1):
+            g_a = jax.grad(lambda mv, mb: loss("bitcast", mv, mb), arg)(
+                jnp.asarray(3.0), jnp.asarray(4.0))
+            g_b = jax.grad(lambda mv, mb: loss("log2", mv, mb), arg)(
+                jnp.asarray(3.0), jnp.asarray(4.0))
+            np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                                       rtol=1e-4, atol=1e-6)
