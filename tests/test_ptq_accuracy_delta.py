@@ -1,0 +1,115 @@
+"""End-to-end PTQ accuracy check: the paper's headline claim in miniature.
+
+Train a small model to high accuracy on learnable synthetic data (the
+class-dependent procedural images from data/imagenet.py), then quantize with
+the BASELINE configs and require the top-1 delta vs FP32 to be small — the
+same procedure BASELINE.md prescribes for real ImageNet, runnable on CPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
+from fp8_quantization_tpu.data.imagenet import SyntheticImageNet
+from fp8_quantization_tpu.nn.config import make_layer_config
+from fp8_quantization_tpu.training import (
+    init_qat_state, make_optimizer, make_train_step)
+from tests._tiny import TinyModel
+
+FP8 = make_layer_config(
+    qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+    fp8_set_maxval=True, weight_range_method="current_minmax",
+    act_range_method="allminmax")
+
+INT8 = make_layer_config(
+    qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+    per_channel_weights=True, weight_range_method="current_minmax",
+    act_range_method="allminmax")
+
+FP8_MSE = make_layer_config(
+    qmethod="fp_quantizer", per_channel_weights=True, fp8_set_maxval=True,
+    weight_range_method="MSE", act_range_method="allminmax",
+    fp8_mse_include_mantissa_bits=True)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """TinyModel trained fp32 (quantizers off) on 8-class synthetic data."""
+    data = SyntheticImageNet(image_size=24, batch_size=32, num_batches=6,
+                             num_classes=8, seed=0)
+    batches = [(jnp.asarray(x), jnp.asarray(y)) for x, y in data]
+
+    model = TinyModel(config=FP8, num_classes=8, width=16)
+    variables = model.init(jax.random.PRNGKey(0), batches[0][0])
+    state, aux = init_qat_state(variables, FP8, make_optimizer("Adam", 3e-3))
+
+    @jax.jit
+    def step(state, x, y):
+        def _loss(params):
+            logits, upd = model.apply(
+                {"params": params, "quant": state.quant,
+                 "batch_stats": state.batch_stats},
+                x, mode="fp32", quant_w=False, quant_a=False, train_bn=True,
+                mutable=["batch_stats"])
+            import optax
+
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean(), upd
+
+        (loss, upd), g = jax.value_and_grad(_loss, has_aux=True)(state.params)
+        p_up, opt_state = aux["model_tx"].update(g, state.opt_state,
+                                                 state.params)
+        import optax
+
+        return dataclasses.replace(
+            state, params=optax.apply_updates(state.params, p_up),
+            batch_stats=upd["batch_stats"], opt_state=opt_state,
+            step=state.step + 1), loss
+
+    for epoch in range(30):
+        for x, y in batches:
+            state, loss = step(state, x, y)
+
+    variables = state.variables()
+    fp32_metrics = evaluate(model, variables, batches,
+                            quant_w=False, quant_a=False)
+    # the model must actually have learned, or the delta check is vacuous
+    assert fp32_metrics["top_1_accuracy"] >= 0.9, fp32_metrics
+    return model, variables, batches, fp32_metrics
+
+
+@pytest.mark.parametrize("cfg_name", ["fp8", "int8", "fp8_mse"])
+def test_ptq_top1_delta_small(trained, cfg_name):
+    model_fp32, variables, batches, fp32_metrics = trained
+    cfg = {"fp8": FP8, "int8": INT8, "fp8_mse": FP8_MSE}[cfg_name]
+
+    qmodel = TinyModel(config=cfg, num_classes=8, width=16)
+    # fresh quant state for this config, same weights
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    q_metrics = evaluate(qmodel, qvars, batches)
+
+    delta = fp32_metrics["top_1_accuracy"] - q_metrics["top_1_accuracy"]
+    assert delta <= 0.05, (cfg_name, fp32_metrics, q_metrics)
+
+
+def test_ptq_delta_engine_consistency(trained):
+    """bf16 engine reproduces the parity engine's PTQ accuracy."""
+    model_fp32, variables, batches, fp32_metrics = trained
+    qmodel = TinyModel(config=FP8, num_classes=8, width=16)
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    m_parity = evaluate(qmodel, qvars, batches)
+
+    bf16_model = TinyModel(config=dataclasses.replace(FP8, engine="bf16"),
+                           num_classes=8, width=16)
+    m_bf16 = evaluate(bf16_model, qvars, batches)
+    assert abs(m_parity["top_1_accuracy"] - m_bf16["top_1_accuracy"]) <= 0.02
