@@ -36,6 +36,9 @@ def _quant_options(f):
                      help="torch checkpoint (.pth/.tar) to convert and load"),
         click.option("--batch-size", type=int, default=64),
         click.option("--num-workers", type=int, default=8),
+        click.option("--interpolation", type=click.Choice(
+            ["nearest", "bilinear", "bicubic", "lanczos", "box", "hamming"]),
+            default="bilinear"),
         click.option("--seed", type=int, default=10),
         click.option("--platform", type=str, default=None,
                      help="force jax platform (cpu/tpu)"),
@@ -126,7 +129,8 @@ def _setup(kw):
     model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])
     train_data, val_data = make_dataloaders(
         kw["images_dir"], batch_size=kw["batch_size"],
-        num_workers=kw["num_workers"], seed=kw["seed"])
+        num_workers=kw["num_workers"], seed=kw["seed"],
+        interpolation=kw["interpolation"])
 
     import jax.numpy as jnp
     import numpy as np
@@ -166,6 +170,9 @@ def fp8_cmd_group():
 @fp8_cmd_group.command()
 @_quant_options
 @click.option("--reestimate-bn-stats/--no-reestimate-bn-stats", default=False)
+@click.option("--bake-weights/--no-bake-weights", default=False,
+              help="precompute fake-quantized weights once and evaluate with "
+                   "the per-step weight-quant chain removed (bit-identical)")
 @click.option("--max-eval-batches", type=int, default=None)
 def validate_quantized(**kw):
     """PTQ: calibrate ranges, freeze, evaluate top-1/top-5/loss.
@@ -199,6 +206,16 @@ def validate_quantized(**kw):
                                         num_batches=n)
         log.info("BN stats re-estimated on %d batches", n)
 
+    quant_w = kw["weight_quant"]
+    if kw["bake_weights"]:
+        import jax.numpy as jnp
+
+        from fp8_quantization_tpu.nn.bake import bake_weights
+        variables = bake_weights(model, variables,
+                                 jnp.zeros((1, 224, 224, 3), jnp.float32))
+        quant_w = False
+        log.info("weights baked: per-step weight quantization disabled")
+
     if mesh is not None:
         from fp8_quantization_tpu.parallel import evaluate_sharded
         metrics = evaluate_sharded(model, variables, val_data, mesh,
@@ -206,7 +223,7 @@ def validate_quantized(**kw):
                                    max_batches=kw["max_eval_batches"])
     else:
         metrics = evaluate(model, variables, val_data,
-                           quant_w=kw["weight_quant"],
+                           quant_w=quant_w,
                            quant_a=kw["act_quant"],
                            max_batches=kw["max_eval_batches"])
     print(json.dumps(metrics))
@@ -231,6 +248,8 @@ def validate_quantized(**kw):
 @click.option("--reestimate-bn-stats/--no-reestimate-bn-stats", default=True)
 @click.option("--grad-scaling/--no-grad-scaling", default=False)
 @click.option("--save-checkpoint-dir", type=str, default=None)
+@click.option("--tb-logging-dir", type=str, default=None,
+              help="metrics JSONL directory (reference flag name)")
 @click.option("--max-train-batches", type=int, default=None,
               help="cap batches per epoch (smoke tests)")
 def train_quantized(**kw):
@@ -263,6 +282,9 @@ def train_quantized(**kw):
         state = shard_qat_state(mesh, state,
                                 tensor_parallel=kw["model_parallel"] > 1)
 
+    from fp8_quantization_tpu.utils.metrics import MetricsLogger
+
+    mlog = MetricsLogger(kw["tb_logging_dir"], run_name=kw["architecture"])
     mode = "learn" if kw["learn_ranges"] else "calibrate_train"
     step_fn = make_train_step(model, aux, mode=mode)
 
@@ -275,14 +297,14 @@ def train_quantized(**kw):
     for epoch in range(kw["max_epochs"]):
         state, metrics = train_epoch(model, state, aux, _batches(),
                                      mode=mode, step_fn=step_fn)
-        log.info("epoch %d: %s", epoch, metrics)
+        mlog.log(epoch, metrics, prefix="train/")
 
         eval_vars = state.variables()
         if kw["reestimate_bn_stats"]:
             eval_vars = reestimate_bn_stats(model, eval_vars, _batches(),
                                             num_batches=50)
         val_metrics = evaluate(model, eval_vars, val_data)
-        log.info("epoch %d val: %s", epoch, val_metrics)
+        mlog.log(epoch, val_metrics, prefix="val/")
 
         if kw["save_checkpoint_dir"]:
             from fp8_quantization_tpu.utils.checkpoint import save_checkpoint

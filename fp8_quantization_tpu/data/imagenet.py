@@ -21,6 +21,19 @@ import numpy as np
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# reference ImageInterpolation enum (imagenet_dataloaders.py:13-19)
+INTERPOLATIONS = ("nearest", "bilinear", "bicubic", "lanczos", "box", "hamming")
+
+
+def _pil_interp(name: str):
+    from PIL import Image
+
+    return {
+        "nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
+        "bicubic": Image.BICUBIC, "lanczos": Image.LANCZOS,
+        "box": Image.BOX, "hamming": Image.HAMMING,
+    }[name]
+
 _EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
@@ -38,7 +51,8 @@ def _list_image_folder(root: str):
     return paths, np.asarray(labels, np.int32), classes
 
 
-def _decode_val(path: str, image_size: int) -> np.ndarray:
+def _decode_val(path: str, image_size: int,
+                interpolation: str = "bilinear") -> np.ndarray:
     """Resize(image_size+24) + CenterCrop(image_size), normalized NHWC.
 
     Reference: imagenet_dataloaders.py:75-84 (val transform).
@@ -53,7 +67,7 @@ def _decode_val(path: str, image_size: int) -> np.ndarray:
         nw, nh = target, max(1, round(h * target / w))
     else:
         nw, nh = max(1, round(w * target / h)), target
-    img = img.resize((nw, nh), Image.BILINEAR)
+    img = img.resize((nw, nh), _pil_interp(interpolation))
     left = (nw - image_size) // 2
     top = (nh - image_size) // 2
     img = img.crop((left, top, left + image_size, top + image_size))
@@ -61,7 +75,8 @@ def _decode_val(path: str, image_size: int) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def _decode_train(path: str, image_size: int, rng: np.random.RandomState) -> np.ndarray:
+def _decode_train(path: str, image_size: int, rng: np.random.RandomState,
+                  interpolation: str = "bilinear") -> np.ndarray:
     """RandomResizedCrop(image_size) + HFlip, normalized NHWC.
 
     Reference: imagenet_dataloaders.py:64-72 (train transform; default
@@ -87,7 +102,7 @@ def _decode_train(path: str, image_size: int, rng: np.random.RandomState) -> np.
         s = min(w, h)
         img = img.crop(((w - s) // 2, (h - s) // 2,
                         (w - s) // 2 + s, (h - s) // 2 + s))
-    img = img.resize((image_size, image_size), Image.BILINEAR)
+    img = img.resize((image_size, image_size), _pil_interp(interpolation))
     if rng.rand() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img, np.float32) / 255.0
@@ -100,7 +115,8 @@ class ImageFolderDataset:
     def __init__(self, root: str, image_size: int = 224, batch_size: int = 64,
                  train: bool = False, seed: int = 0, num_workers: int = 8,
                  shard_id: int = 0, num_shards: int = 1,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 interpolation: str = "bilinear"):
         self.paths, self.labels, self.classes = _list_image_folder(root)
         self.image_size = image_size
         self.batch_size = batch_size
@@ -108,6 +124,7 @@ class ImageFolderDataset:
         self.seed = seed
         self.num_workers = num_workers
         self.drop_remainder = drop_remainder
+        self.interpolation = interpolation
         # per-host shard (multi-host data parallelism)
         self.paths = self.paths[shard_id::num_shards]
         self.labels = self.labels[shard_id::num_shards]
@@ -131,11 +148,13 @@ class ImageFolderDataset:
                     seeds = rng.randint(0, 2 ** 31, size=len(idx))
                     imgs = list(pool.map(
                         lambda a: _decode_train(self.paths[a[0]], self.image_size,
-                                                np.random.RandomState(a[1])),
+                                                np.random.RandomState(a[1]),
+                                                self.interpolation),
                         zip(idx, seeds)))
                 else:
                     imgs = list(pool.map(
-                        lambda i: _decode_val(self.paths[i], self.image_size), idx))
+                        lambda i: _decode_val(self.paths[i], self.image_size,
+                                              self.interpolation), idx))
                 yield np.stack(imgs), self.labels[idx]
 
 
@@ -182,7 +201,8 @@ class SyntheticImageNet:
 
 def make_dataloaders(data_dir: Optional[str], image_size: int = 224,
                      batch_size: int = 64, num_workers: int = 8, seed: int = 0,
-                     shard_id: int = 0, num_shards: int = 1):
+                     shard_id: int = 0, num_shards: int = 1,
+                     interpolation: str = "bilinear"):
     """(train_iter, val_iter) from an ImageNet directory tree with train/ and
     val/ subfolders (reference ImageNetDataLoaders, imagenet_dataloaders.py:22-115),
     falling back to synthetic data when data_dir is unset/missing."""
@@ -191,11 +211,12 @@ def make_dataloaders(data_dir: Optional[str], image_size: int = 224,
         train = ImageFolderDataset(
             train_dir, image_size, batch_size, train=True, seed=seed,
             num_workers=num_workers, shard_id=shard_id, num_shards=num_shards,
-            drop_remainder=True) if os.path.isdir(train_dir) else None
+            drop_remainder=True,
+            interpolation=interpolation) if os.path.isdir(train_dir) else None
         val = ImageFolderDataset(
             os.path.join(data_dir, "val"), image_size, batch_size, train=False,
             seed=seed, num_workers=num_workers, shard_id=shard_id,
-            num_shards=num_shards)
+            num_shards=num_shards, interpolation=interpolation)
         return train, val
     synth = SyntheticImageNet(image_size, batch_size, num_batches=8, seed=seed)
     return synth, synth

@@ -64,9 +64,12 @@ class QuantizedLayerBase(nn.Module):
             return self._act_quantizer()(x, mode=mode)
         return x
 
-    def _quant_w(self, w, mode, quant_w, num_channels):
+    def _quant_w(self, w, mode, quant_w, num_channels, param_name="kernel"):
         if quant_w and self.config.quant_w:
-            return self._weight_quantizer(num_channels)(w, mode=mode)
+            wq = self._weight_quantizer(num_channels)(w, mode=mode)
+            self.sow("baked_weights", param_name, wq,
+                     init_fn=lambda: 0., reduce_fn=lambda _, v: v)
+            return wq
         return w
 
     def _quant_out(self, y, mode, quant_a):
@@ -94,6 +97,10 @@ class QuantizedLayerBase(nn.Module):
                 return (x.astype(jnp.bfloat16), wn.astype(jnp.bfloat16),
                         w_factor)
             w = wq_mod(kernel, mode=mode)
+            # no-op unless the caller makes 'baked_weights' mutable
+            # (nn/bake.py: precompute fake-quantized weights for inference)
+            self.sow("baked_weights", "kernel", w,
+                     init_fn=lambda: 0., reduce_fn=lambda _, v: v)
             xm, wm = _maybe_cast(x, w, self.matmul_dtype)
             return xm, wm, None
         if eng in ("bf16", "pallas"):
@@ -396,7 +403,7 @@ class QuantLayerNorm(QuantizedLayerBase):
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
         x = self._quant_in(x, mode, quant_a)
-        w = self._quant_w(scale, mode, quant_w, features)
+        w = self._quant_w(scale, mode, quant_w, features, param_name="scale")
 
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
