@@ -336,6 +336,99 @@ class QuantConv(QuantizedLayerBase):
                            self.bn_momentum, train_bn)
 
 
+class QuantConv1d(QuantizedLayerBase):
+    """Quantized 1-D convolution (NWC / WIO).
+
+    Reference: QuantConv1d (autoquant_utils.py:20-31).  Our channel-last
+    convention also covers the reference's transposed-conv per-channel
+    transpose trick (autoquant_utils.py:46-58) for free: output channels are
+    ALWAYS the last kernel axis here, for convs and transposed convs alike.
+    """
+
+    features: int = 0
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Union[str, Sequence[Tuple[int, int]]] = ((0, 0),)
+    feature_group_count: int = 1
+    use_bias: bool = True
+    bn: bool = False
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (self.kernel_size, x.shape[-1] // self.feature_group_count,
+             self.features), jnp.float32)
+
+        folded_shift = None
+        if self.bn and self.config.bn_mode == "folded":
+            if train_bn:
+                raise ValueError("bn_mode='folded' is an inference-time mode")
+            kernel, folded_shift = self._bn_folded_kernel(
+                kernel, self.features, self.bn_eps)
+
+        x = self._quant_in(x, mode, quant_a)
+        xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
+                                                 self.features)
+        y = jax.lax.conv_general_dilated(
+            xm, wm, window_strides=(self.strides,), padding=self.padding,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32).astype(jnp.float32)
+        if w_factor is not None:
+            y = y * w_factor
+
+        if folded_shift is not None:
+            y = y + folded_shift
+        elif self.bn:
+            y = _batch_norm(self, y, self.features, self.bn_eps,
+                            self.bn_momentum, train_bn)
+        elif self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return self._quant_out(y, mode, quant_a)
+
+
+class QuantConvTranspose(QuantizedLayerBase):
+    """Quantized N-D transposed convolution (channel-last).
+
+    Reference: QuantConvTranspose1d/QuantConvTranspose
+    (autoquant_utils.py:61-86).  The reference needs a transpose trick
+    because torch stores transposed-conv kernels (I, O, *): per-channel
+    quantization must hit O.  Our kernels are (*spatial, I, O) with O last —
+    the same channel_axis=-1 path as every other layer, no trick.
+    """
+
+    features: int = 0
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Tuple[int, ...] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
+
+        x = self._quant_in(x, mode, quant_a)
+        xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
+                                                 self.features)
+        y = jax.lax.conv_transpose(
+            xm, wm, strides=self.strides, padding=self.padding,
+            preferred_element_type=jnp.float32).astype(jnp.float32)
+        if w_factor is not None:
+            y = y * w_factor
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return self._quant_out(y, mode, quant_a)
+
+
 class QuantLinear(QuantizedLayerBase):
     """Quantized dense layer.  Reference: QuantLinear (autoquant_utils.py:89-91),
     BNQLinear (:120-122)."""

@@ -184,20 +184,25 @@ def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 def make_train_step(model, aux: Dict, *, mode: str = "learn",
                     loss_fn: Callable = cross_entropy,
-                    train_bn: bool = True, donate: bool = True):
+                    train_bn: bool = True, donate: bool = True,
+                    remat: bool = False):
     """One QAT step: forward (STE fake-quant) -> grads -> two optimizers.
 
     ``mode='learn'`` trains quant ranges through the STE (learn_ranges);
     ``mode='calibrate_train'`` keeps re-estimating ranges during training
     instead (estimate_ranges_train, quantization_manager.py:131-136) — in
     that mode range updates come back through the mutated 'quant' collection.
+
+    ``remat=True`` rematerializes the forward in the backward pass
+    (jax.checkpoint): fake-quantized activations are recomputed instead of
+    stored, trading FLOPs for HBM — the standard lever for large-batch QAT.
     """
     model_tx, quant_tx = aux["model_tx"], aux["quant_tx"]
 
     def step(state: QATState, x, y):
         mutable = ["batch_stats"] + (["quant"] if mode == "calibrate_train" else [])
 
-        def _loss(params, qtrain):
+        def _forward(params, qtrain):
             variables = {"params": params,
                          "quant": merge_quant(qtrain, state.quant_frozen)}
             if state.batch_stats:
@@ -205,9 +210,14 @@ def make_train_step(model, aux: Dict, *, mode: str = "learn",
             # per-step rng stream for stochastic-rounding discretizers
             rngs = {"quant_noise": jax.random.fold_in(
                 jax.random.PRNGKey(17), state.step)}
-            logits, updates = model.apply(
+            return model.apply(
                 variables, x, mode=mode, train_bn=train_bn, mutable=mutable,
                 rngs=rngs)
+
+        fwd = jax.checkpoint(_forward) if remat else _forward
+
+        def _loss(params, qtrain):
+            logits, updates = fwd(params, qtrain)
             return loss_fn(logits, y), (logits, updates)
 
         (loss, (logits, updates)), (gp, gq) = jax.value_and_grad(

@@ -189,3 +189,19 @@ def test_make_optimizer_variants():
         assert isinstance(tx, optax.GradientTransformation)
     with pytest.raises(ValueError):
         make_optimizer("bogus", 1e-3)
+
+
+def test_train_step_with_remat_matches():
+    """jax.checkpoint rematerialization changes memory, not math."""
+    model, variables, x, y = _calibrated(FP8_LEARN)
+    state1, aux1 = init_qat_state(variables, FP8_LEARN,
+                                  make_optimizer("SGD", 1e-2))
+    state2, aux2 = init_qat_state(variables, FP8_LEARN,
+                                  make_optimizer("SGD", 1e-2))
+    s1, m1 = make_train_step(model, aux1, donate=False)(state1, x, y)
+    s2, m2 = make_train_step(model, aux2, donate=False, remat=True)(state2, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s1.params, s2.params)
