@@ -169,6 +169,15 @@ def fp8_cmd_group():
 
 @fp8_cmd_group.command()
 @_quant_options
+@click.option("--load-type", type=click.Choice(["fp32", "quantized"]),
+              default="fp32",
+              help="fp32: calibrate from scratch; quantized: restore a "
+                   "previously saved calibrated state and skip calibration "
+                   "(reference: image_net.py:42-47, --load-type)")
+@click.option("--load-checkpoint-dir", type=str, default=None,
+              help="orbax checkpoint dir for --load-type quantized")
+@click.option("--save-checkpoint-dir", type=str, default=None,
+              help="save the calibrated (quantized) state after calibration")
 @click.option("--reestimate-bn-stats/--no-reestimate-bn-stats", default=False)
 @click.option("--bake-weights/--no-bake-weights", default=False,
               help="precompute fake-quantized weights once and evaluate with "
@@ -185,19 +194,33 @@ def validate_quantized(**kw):
 
     cal_data = ([b for b in val_data][:kw["num_est_batches"]]
                 if train_data is None else train_data)
-    if mesh is not None:
+    if kw["load_type"] == "quantized":
+        if not kw["load_checkpoint_dir"]:
+            raise click.UsageError(
+                "--load-type quantized requires --load-checkpoint-dir")
+        from fp8_quantization_tpu.utils.checkpoint import restore_checkpoint
+        variables = restore_checkpoint(kw["load_checkpoint_dir"], variables)
+        log.info("restored quantized state from %s (calibration skipped)",
+                 kw["load_checkpoint_dir"])
+    elif mesh is not None:
         from fp8_quantization_tpu.parallel import (
             calibrate_sharded, evaluate_sharded)
         variables = calibrate_sharded(
             model, variables, cal_data, mesh,
             num_batches=kw["num_est_batches"],
             tensor_parallel=kw["model_parallel"] > 1)
+        log.info("calibration done (%d batches)", kw["num_est_batches"])
     else:
         variables = calibrate(model, variables, cal_data,
                               num_batches=kw["num_est_batches"],
                               quant_w=kw["weight_quant"],
                               quant_a=kw["act_quant"])
-    log.info("calibration done (%d batches)", kw["num_est_batches"])
+        log.info("calibration done (%d batches)", kw["num_est_batches"])
+
+    if kw["save_checkpoint_dir"]:
+        from fp8_quantization_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(kw["save_checkpoint_dir"], variables)
+        log.info("calibrated state saved to %s", kw["save_checkpoint_dir"])
 
     if kw["reestimate_bn_stats"]:
         from fp8_quantization_tpu.training import reestimate_bn_stats

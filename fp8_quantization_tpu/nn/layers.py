@@ -9,13 +9,13 @@ with explicit modules whose forward is, per layer:
 
 TPU-first details:
   * NHWC activations / HWIO kernels (XLA's native TPU conv layout).
-  * ``matmul_dtype=None`` (default) computes the conv/matmul in fp32 —
-    bit-parity with the reference's F.conv2d on fake-quantized operands.
-    The speed path is NOT a bf16 cast here (fake-quant outputs are
-    scale*int products with full fp32 mantissas, so a cast is lossy);
-    it is the factored engine in ops/pallas/ + engine.py, which quantizes to
-    the *normalized* integer grid (exact in bf16), runs the MXU matmul at
-    2x fp32 throughput, and applies the scales in the epilogue.
+  * ``config.engine`` selects the compute path: 'parity' runs the
+    conv/matmul in fp32 (bit-parity with the reference's F.conv2d on
+    fake-quantized operands); 'bf16' quantizes onto the *normalized* grid
+    (exact in bfloat16 — a plain bf16 cast of fake-quant outputs would be
+    lossy since they carry full fp32 mantissas), runs the MXU at bf16 rate
+    and applies the factored-out channel scales post-matmul; 'pallas' uses
+    the fused kernel in ops/pallas/qmatmul.py for linear / deep 1x1 convs.
   * BN running stats live in the ``batch_stats`` collection; momentum
     semantics match torch's F.batch_norm (new = (1-m)*old + m*batch).
 """

@@ -231,3 +231,26 @@ def test_analytical_expected_mse_parity(ref):
     np.testing.assert_allclose(expected_rounding_error(j_t, grid),
                                estimate_rounding_error_analyt(t_t, grid),
                                rtol=1e-5)
+
+
+def test_percentile_estimator_parity(ref):
+    """CurrentMinMaxEstimator with percentile clipping vs ours."""
+    torch = ref["torch"]
+    from quantization.range_estimators import CurrentMinMaxEstimator
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(0, 1, (1, 4096)).astype(np.float32)
+
+    est = CurrentMinMaxEstimator(percentile=1.0, per_channel=False)
+    t_min, t_max = est(torch.from_numpy(x))
+
+    from fp8_quantization_tpu.calibration import estimators as jest
+    from fp8_quantization_tpu.ops.quantizer import QMethod, QuantizerSpec
+
+    spec = QuantizerSpec(method=QMethod.fp_quantizer)
+    espec = jest.EstimatorSpec(kind=jest.RangeEstimators.current_minmax,
+                               percentile=1.0)
+    state = jest.init_state(espec, spec, None)
+    _, j_min, j_max, _ = jest.update(espec, spec, state, jnp.asarray(x))
+    np.testing.assert_allclose(float(j_min), float(t_min), rtol=2e-3)
+    np.testing.assert_allclose(float(j_max), float(t_max), rtol=2e-3)
