@@ -1,0 +1,53 @@
+"""Serving export round trip: serialized StableHLO artifact == live model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fp8_quantization_tpu.calibration.calibrate import calibrate
+from fp8_quantization_tpu.nn.config import make_layer_config
+from fp8_quantization_tpu.serving import export_quantized_model, load_exported
+from tests._tiny import TinyModel, japply
+
+CFG = make_layer_config(
+    qmethod="fp_quantizer", per_channel_weights=True, fp8_set_maxval=True,
+    weight_range_method="current_minmax", act_range_method="allminmax")
+
+
+def _setup():
+    model = TinyModel(config=CFG)
+    x = jnp.asarray(np.random.RandomState(0).normal(0, 1, (4, 16, 16, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, calibrate(model, variables, [x]), x
+
+
+def test_export_fixed_batch_round_trip(tmp_path):
+    model, variables, x = _setup()
+    path, spec = export_quantized_model(
+        model, variables, str(tmp_path / "model.bin"),
+        batch_size=4, image_size=16)
+    assert spec == (4, 16, 16, 3)
+
+    ref = japply(model, variables, x, mode="fixed")
+    fn = load_exported(path)
+    out = fn(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_export_polymorphic_batch(tmp_path):
+    model, variables, x = _setup()
+    path, spec = export_quantized_model(
+        model, variables, str(tmp_path / "model.bin"),
+        batch_size=None, image_size=16)
+
+    fn = load_exported(path)
+    for b in (1, 4, 7):
+        xb = jnp.asarray(np.random.RandomState(b).normal(
+            0, 1, (b, 16, 16, 3)), jnp.float32)
+        out = fn(xb)
+        assert out.shape == (b, 4)
+        ref = japply(model, variables, xb, mode="fixed")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
