@@ -264,6 +264,17 @@ def validate_quantized(**kw):
 @click.option("--sep-quant-optimizer/--no-sep-quant-optimizer", default=False)
 @click.option("--quant-optimizer", type=str, default="Adam")
 @click.option("--quant-learning-rate", type=float, default=1e-5)
+@click.option("--oscillations-dampen-weight", type=float, default=0.0,
+              help="oscillation dampening strength (0 = off); the reference "
+                   "parses this flag but never implements it — we do")
+@click.option("--oscillations-dampen-weight-final", type=float, default=None)
+@click.option("--oscillations-dampen-anneal-start", type=float, default=0.25)
+@click.option("--oscillations-freeze-threshold", type=float, default=0.0,
+              help="freeze weights whose oscillation frequency EMA exceeds "
+                   "this (0 = off)")
+@click.option("--oscillations-freeze-threshold-final", type=float, default=None)
+@click.option("--oscillations-freeze-anneal-start", type=float, default=0.25)
+@click.option("--oscillations-freeze-ema-momentum", type=float, default=0.99)
 @click.option("--learn-ranges/--estimate-ranges-train", "learn_ranges",
               default=True,
               help="learn ranges through the STE vs keep re-estimating "
@@ -299,7 +310,20 @@ def train_quantized(**kw):
                               max_steps=steps_per_epoch * kw["max_epochs"])
     quant_tx = (make_optimizer(kw["quant_optimizer"], kw["quant_learning_rate"])
                 if kw["sep_quant_optimizer"] else None)
-    state, aux = init_qat_state(variables, config, model_tx, quant_tx)
+    oscillation = None
+    if kw["oscillations_dampen_weight"] > 0 or kw["oscillations_freeze_threshold"] > 0:
+        from fp8_quantization_tpu.training.oscillation import OscillationConfig
+        oscillation = OscillationConfig(
+            dampen_weight=kw["oscillations_dampen_weight"],
+            dampen_weight_final=kw["oscillations_dampen_weight_final"],
+            dampen_anneal_start=kw["oscillations_dampen_anneal_start"],
+            freeze_threshold=kw["oscillations_freeze_threshold"],
+            freeze_threshold_final=kw["oscillations_freeze_threshold_final"],
+            freeze_anneal_start=kw["oscillations_freeze_anneal_start"],
+            freeze_ema_momentum=kw["oscillations_freeze_ema_momentum"],
+            total_steps=steps_per_epoch * kw["max_epochs"])
+    state, aux = init_qat_state(variables, config, model_tx, quant_tx,
+                                oscillation=oscillation)
     if mesh is not None:
         from fp8_quantization_tpu.parallel import shard_qat_state
         state = shard_qat_state(mesh, state,

@@ -30,6 +30,8 @@ import optax
 
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
 from fp8_quantization_tpu.ops.quantizer import QuantizerSpec, trainable_param_names
+from fp8_quantization_tpu.training.oscillation import (
+    OscillationConfig, apply_freezing, dampening_loss, init_osc_state)
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +146,7 @@ class QATState:
     opt_state: Any
     quant_opt_state: Any
     step: jax.Array
+    osc_state: Any = None        # oscillation-freezing tracker (optional)
 
     @property
     def quant(self):
@@ -158,24 +161,33 @@ class QATState:
 
 def init_qat_state(variables: dict, config: LayerQuantConfig,
                    model_tx: optax.GradientTransformation,
-                   quant_tx: Optional[optax.GradientTransformation] = None) -> Tuple[QATState, Dict]:
+                   quant_tx: Optional[optax.GradientTransformation] = None,
+                   oscillation: Optional[OscillationConfig] = None) -> Tuple[QATState, Dict]:
     """Build the QATState from calibrated model variables.
 
     ``quant_tx=None`` trains quant params with the model optimizer
     (reference: --sep-quant-optimizer off, click_options.py:184-213).
+    ``oscillation`` enables dampening/freezing (training/oscillation.py).
     Returns (state, aux) where aux holds the optax transforms for the step fn.
     """
     mask = quant_trainable_mask(variables["quant"], config)
     qtrain, qfrozen = partition_quant(variables["quant"], mask)
     quant_tx = quant_tx if quant_tx is not None else model_tx
+    osc_state = None
+    if oscillation is not None and oscillation.freeze:
+        osc_state = init_osc_state(variables["params"], variables["quant"],
+                                   config.weight_quant)
     state = QATState(
         params=variables["params"],
         quant_train=qtrain, quant_frozen=qfrozen,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=model_tx.init(variables["params"]),
         quant_opt_state=quant_tx.init(qtrain),
-        step=jnp.zeros((), jnp.int32))
-    return state, {"model_tx": model_tx, "quant_tx": quant_tx, "mask": mask}
+        step=jnp.zeros((), jnp.int32),
+        osc_state=osc_state)
+    return state, {"model_tx": model_tx, "quant_tx": quant_tx, "mask": mask,
+                   "oscillation": oscillation,
+                   "weight_spec": config.weight_quant}
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -215,16 +227,33 @@ def make_train_step(model, aux: Dict, *, mode: str = "learn",
                 rngs=rngs)
 
         fwd = jax.checkpoint(_forward) if remat else _forward
+        osc: Optional[OscillationConfig] = aux.get("oscillation")
 
         def _loss(params, qtrain):
             logits, updates = fwd(params, qtrain)
-            return loss_fn(logits, y), (logits, updates)
+            loss = loss_fn(logits, y)
+            if osc is not None and osc.dampen:
+                from fp8_quantization_tpu.training.oscillation import _anneal
+
+                lam = _anneal(osc.dampen_weight, osc.dampen_weight_final,
+                              state.step, osc.total_steps,
+                              osc.dampen_anneal_start)
+                loss = loss + lam * dampening_loss(
+                    params, merge_quant(qtrain, state.quant_frozen),
+                    aux["weight_spec"])
+            return loss, (logits, updates)
 
         (loss, (logits, updates)), (gp, gq) = jax.value_and_grad(
             _loss, argnums=(0, 1), has_aux=True)(state.params, state.quant_train)
 
         p_updates, opt_state = model_tx.update(gp, state.opt_state, state.params)
         params = optax.apply_updates(state.params, p_updates)
+
+        osc_state, osc_stats = state.osc_state, {}
+        if osc is not None and osc.freeze and state.osc_state is not None:
+            params, osc_state, osc_stats = apply_freezing(
+                params, merge_quant(state.quant_train, state.quant_frozen),
+                state.osc_state, aux["weight_spec"], state.step, osc)
 
         q_updates, quant_opt_state = quant_tx.update(
             gq, state.quant_opt_state, state.quant_train)
@@ -242,9 +271,10 @@ def make_train_step(model, aux: Dict, *, mode: str = "learn",
             params=params, quant_train=quant_train, quant_frozen=quant_frozen,
             batch_stats=updates.get("batch_stats", state.batch_stats),
             opt_state=opt_state, quant_opt_state=quant_opt_state,
-            step=state.step + 1)
+            step=state.step + 1, osc_state=osc_state)
         metrics = {"loss": loss,
                    "accuracy": jnp.mean(jnp.argmax(logits, -1) == y)}
+        metrics.update(osc_stats)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
