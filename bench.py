@@ -47,7 +47,8 @@ def main():
     from fp8_quantization_tpu.models import resnet18_quantized
     from fp8_quantization_tpu.nn.config import make_layer_config
 
-    batch = 128
+    batch = 128  # larger batches reach ~16.4k img/s (RESULTS.md) but cold
+    # compiles + the ~2MB/s tunnel upload would risk the driver timeout
     config = make_layer_config(
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
