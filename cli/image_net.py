@@ -208,7 +208,8 @@ def validate_quantized(**kw):
         variables = calibrate_sharded(
             model, variables, cal_data, mesh,
             num_batches=kw["num_est_batches"],
-            tensor_parallel=kw["model_parallel"] > 1)
+            tensor_parallel=kw["model_parallel"] > 1,
+            quant_w=kw["weight_quant"], quant_a=kw["act_quant"])
         log.info("calibration done (%d batches)", kw["num_est_batches"])
     else:
         variables = calibrate(model, variables, cal_data,
@@ -243,7 +244,8 @@ def validate_quantized(**kw):
         from fp8_quantization_tpu.parallel import evaluate_sharded
         metrics = evaluate_sharded(model, variables, val_data, mesh,
                                    tensor_parallel=kw["model_parallel"] > 1,
-                                   max_batches=kw["max_eval_batches"])
+                                   max_batches=kw["max_eval_batches"],
+                                   quant_w=quant_w, quant_a=kw["act_quant"])
     else:
         metrics = evaluate(model, variables, val_data,
                            quant_w=quant_w,
@@ -307,7 +309,8 @@ def train_quantized(**kw):
                               momentum=kw["momentum"],
                               weight_decay=kw["weight_decay"],
                               scheduler=kw["learning_rate_schedule"],
-                              max_steps=steps_per_epoch * kw["max_epochs"])
+                              max_steps=steps_per_epoch * kw["max_epochs"],
+                              steps_per_epoch=steps_per_epoch)
     quant_tx = (make_optimizer(kw["quant_optimizer"], kw["quant_learning_rate"])
                 if kw["sep_quant_optimizer"] else None)
     oscillation = None

@@ -125,6 +125,7 @@ class ImageFolderDataset:
         self.num_workers = num_workers
         self.drop_remainder = drop_remainder
         self.interpolation = interpolation
+        self._epoch = 0
         # per-host shard (multi-host data parallelism)
         self.paths = self.paths[shard_id::num_shards]
         self.labels = self.labels[shard_id::num_shards]
@@ -136,7 +137,10 @@ class ImageFolderDataset:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.paths))
-        rng = np.random.RandomState(self.seed)
+        # fresh shuffle + augmentation draws every epoch (torch DataLoader
+        # shuffle=True semantics); deterministic given (seed, epoch)
+        rng = np.random.RandomState(self.seed + self._epoch)
+        self._epoch += 1
         if self.train:
             rng.shuffle(order)
         with ThreadPoolExecutor(self.num_workers) as pool:

@@ -64,6 +64,21 @@ class QuantizedLayerBase(nn.Module):
             return self._act_quantizer()(x, mode=mode)
         return x
 
+    def _quant_in_engine(self, x, mode, quant_a):
+        """(x', x_factor) — input quantization honoring the engine.
+
+        Under 'bf16'/'pallas' the input is quantized onto the normalized
+        grid (exact in bf16); its per-tensor factor multiplies the matmul
+        output, avoiding the lossy bf16 cast of a full-scale fake-quant
+        value (code-review finding).
+        """
+        if self.config.quantize_input and quant_a and self.config.quant_a:
+            q_mod = self._act_quantizer()
+            if self.config.engine in ("bf16", "pallas"):
+                return q_mod(x, mode=mode, out="factored")
+            return q_mod(x, mode=mode), None
+        return x, None
+
     def _quant_w(self, w, mode, quant_w, num_channels, param_name="kernel"):
         if quant_w and self.config.quant_w:
             wq = self._weight_quantizer(num_channels)(w, mode=mode)
@@ -182,6 +197,10 @@ class QuantizedLayerBase(nn.Module):
                 w_channel = (jnp.broadcast_to(scale.reshape(-1), (features,))
                              if cfg.weight_quant.per_channel
                              else jnp.full((features,), scale.reshape(())))
+                # slot 1 carries the calibrated signedness for the kernel grid
+                w_scalars = jnp.stack([
+                    jnp.asarray(0.0, jnp.float32),
+                    wstate["signed"].astype(jnp.float32)])
 
         # act quantizer state (input-quant or output-quant)
         a_method = "none"
@@ -309,7 +328,7 @@ class QuantConv(QuantizedLayerBase):
                 shift_override=folded_shift)
             return y2d.reshape(n, h, w_, self.features)
 
-        x = self._quant_in(x, mode, quant_a)
+        x, x_factor = self._quant_in_engine(x, mode, quant_a)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_general_dilated(
@@ -320,6 +339,8 @@ class QuantConv(QuantizedLayerBase):
         y = y.astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor          # (1,1,1,O) or scalar, see apply_factored
+        if x_factor is not None:
+            y = y * x_factor          # per-tensor input-quant factor
 
         if folded_shift is not None:
             y = y + folded_shift
@@ -370,7 +391,7 @@ class QuantConv1d(QuantizedLayerBase):
             kernel, folded_shift = self._bn_folded_kernel(
                 kernel, self.features, self.bn_eps)
 
-        x = self._quant_in(x, mode, quant_a)
+        x, x_factor = self._quant_in_engine(x, mode, quant_a)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_general_dilated(
@@ -380,6 +401,8 @@ class QuantConv1d(QuantizedLayerBase):
             preferred_element_type=jnp.float32).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
+        if x_factor is not None:
+            y = y * x_factor
 
         if folded_shift is not None:
             y = y + folded_shift
@@ -415,7 +438,7 @@ class QuantConvTranspose(QuantizedLayerBase):
             "kernel", nn.initializers.he_normal(),
             (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
 
-        x = self._quant_in(x, mode, quant_a)
+        x, x_factor = self._quant_in_engine(x, mode, quant_a)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_transpose(
@@ -423,6 +446,8 @@ class QuantConvTranspose(QuantizedLayerBase):
             preferred_element_type=jnp.float32).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
+        if x_factor is not None:
+            y = y * x_factor
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
@@ -455,17 +480,22 @@ class QuantLinear(QuantizedLayerBase):
                 kernel, self.features, self.bn_eps)
 
         if self._pallas_supported(mode, train_bn):
-            return self._pallas_forward(
-                x, kernel, self.features, mode, quant_w, quant_a,
+            # fused kernel is 2-D; collapse leading batch dims and restore
+            x2d = x.reshape(-1, x.shape[-1])
+            y2d = self._pallas_forward(
+                x2d, kernel, self.features, mode, quant_w, quant_a,
                 self.bn and folded_shift is None, self.bn_eps, self.use_bias,
                 shift_override=folded_shift)
+            return y2d.reshape(*x.shape[:-1], self.features)
 
-        x = self._quant_in(x, mode, quant_a)
+        x, x_factor = self._quant_in_engine(x, mode, quant_a)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jnp.dot(xm, wm, preferred_element_type=jnp.float32).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
+        if x_factor is not None:
+            y = y * x_factor
 
         if folded_shift is not None:
             y = y + folded_shift

@@ -85,15 +85,18 @@ def _fp8_channel_factor(maxval, mbits):
     return maxval / (2.0 - jnp.exp2(-mbits))
 
 
-def _int_sym_quantize_tile(x, delta, n_bits, normalized=False):
-    """Symmetric INT fake-quant, signed grid (uniform_quantizers.py:290-297).
+def _int_sym_quantize_tile(x, delta, n_bits, normalized=False, signed=1.0):
+    """Symmetric INT fake-quant (uniform_quantizers.py:290-297).
 
+    ``signed`` (f32 scalar 0/1) selects the grid: signed [-2^(n-1), 2^(n-1)-1]
+    or unsigned [0, 2^n - 1] — set from the quantizer's calibrated state so
+    the kernel matches the composed-XLA oracle on all-non-negative channels.
     ``normalized=True`` returns the bare integers (<= 8 significand bits,
     exact in bf16); the caller multiplies ``delta`` back in the epilogue.
     """
     delta = jnp.maximum(delta, 1e-8)
-    int_min = -(2.0 ** (n_bits - 1))
-    int_max = 2.0 ** (n_bits - 1) - 1.0
+    int_min = jnp.where(signed > 0, -(2.0 ** (n_bits - 1)), 0.0)
+    int_max = 2.0 ** (n_bits - signed) - 1.0
     m = jnp.clip(jnp.round(x / delta), int_min, int_max)
     return m if normalized else m * delta
 
@@ -136,7 +139,8 @@ def _qmatmul_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref, shift_ref,
         w = _fp8_quantize_tile(w, wq_ref[:], ws_ref[0, 0], ws_ref[0, 1],
                                normalized=norm, n_bits=float(cfg.n_bits))
     elif cfg.weight_method == "int_sym":
-        w = _int_sym_quantize_tile(w, wq_ref[:], cfg.n_bits, normalized=norm)
+        w = _int_sym_quantize_tile(w, wq_ref[:], cfg.n_bits, normalized=norm,
+                                   signed=ws_ref[0, 1])
 
     dt = jnp.bfloat16 if norm else jnp.float32
     acc_ref[:] += jnp.dot(x.astype(dt), w.astype(dt),
@@ -211,9 +215,14 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
     # interpreter — numerics identical.
     interpret = interpret or jax.default_backend() == "cpu"
 
-    bm = min(cfg.block_m, max(8, M))
-    bn = min(cfg.block_n, max(128, N))
-    bk = min(cfg.block_k, max(128, K))
+    bm_c, bn_c, bk_c = cfg.block_m, cfg.block_n, cfg.block_k
+    if (bm_c, bn_c, bk_c) == (256, 256, 512) and min(M, K, N) >= 2048:
+        # measured on v5e: 512x1024x512 runs 8192^3 at 83 TF/s vs 37 with the
+        # small default blocks (better operand reuse per VMEM residency)
+        bm_c, bn_c, bk_c = 512, 1024, 512
+    bm = min(bm_c, max(8, M))
+    bn = min(bn_c, max(128, N))
+    bk = min(bk_c, max(128, K))
 
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
     wp = _pad_to(_pad_to(w, bk, 0), bn, 1)

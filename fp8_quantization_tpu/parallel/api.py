@@ -92,7 +92,8 @@ def replicate_variables(mesh: Mesh, variables: Dict[str, Any]) -> Dict[str, Any]
 
 def calibrate_sharded(model, variables: dict, batches, mesh: Mesh, *,
                       num_batches: Optional[int] = None,
-                      tensor_parallel: bool = False) -> dict:
+                      tensor_parallel: bool = False,
+                      quant_w: bool = True, quant_a: bool = True) -> dict:
     """Data-parallel (optionally tensor-parallel) calibration.
 
     Each global batch is sharded over the 'data' axis; estimator reductions
@@ -114,7 +115,8 @@ def calibrate_sharded(model, variables: dict, batches, mesh: Mesh, *,
             x = b[0] if isinstance(b, (tuple, list)) else b
             yield jax.device_put(x, shard)
 
-    return calibrate(model, variables, _sharded_batches())
+    return calibrate(model, variables, _sharded_batches(),
+                     quant_w=quant_w, quant_a=quant_a)
 
 
 def evaluate_sharded(model, variables: dict, batches, mesh: Mesh, *,

@@ -39,36 +39,38 @@ from fp8_quantization_tpu.training.oscillation import (
 # ---------------------------------------------------------------------------
 
 def make_schedule(learning_rate: float, scheduler: Optional[str] = None,
-                  scheduler_opts: str = "", max_steps: int = 0):
-    """LR schedule from a reference-style string spec.
+                  max_steps: int = 0, steps_per_epoch: int = 1):
+    """LR schedule from a reference-style string spec — reference semantics
+    (utils/optimizer_utils.py:8-19):
 
-    ``multistep:10:20:...`` decays 10x at the listed epochs/steps;
-    ``cosine:1.0:0.01`` anneals between lr*start and lr*end factors
-    (reference spelling: optimizer_utils.py:22-39).
+    ``multistep:10:20`` decays 10x at the listed EPOCHS (torch MultiStepLR,
+    stepped per epoch — converted here with ``steps_per_epoch``);
+    ``cosine:<eta_min>`` anneals lr -> eta_min (an ABSOLUTE final LR, torch
+    CosineAnnealingLR) over ``max_steps``.
     """
     if not scheduler:
         return learning_rate
-    kind, *opts = scheduler.split(":") if ":" in scheduler else (scheduler,
-                                                                 *scheduler_opts.split(":"))
+    kind, *opts = scheduler.split(":")
     opts = [o for o in opts if o]
     if kind == "multistep":
-        milestones = [int(o) for o in opts]
+        milestones = [int(o) * max(steps_per_epoch, 1) for o in opts]
         return optax.piecewise_constant_schedule(
             learning_rate, {m: 0.1 for m in milestones})
     if kind == "cosine":
-        start, end = (float(opts[0]) if opts else 1.0,
-                      float(opts[1]) if len(opts) > 1 else 0.0)
+        eta_min = float(opts[0]) if opts else 0.0
         return optax.cosine_decay_schedule(
-            learning_rate * start, max(max_steps, 1),
-            alpha=end / start if start else 0.0)
+            learning_rate, max(max_steps, 1),
+            alpha=eta_min / learning_rate if learning_rate else 0.0)
     raise ValueError(f"unknown scheduler {scheduler}")
 
 
 def make_optimizer(name: str = "SGD", learning_rate: float = 1e-3,
                    momentum: float = 0.9, weight_decay: float = 0.0,
-                   scheduler: Optional[str] = None, max_steps: int = 0) -> optax.GradientTransformation:
+                   scheduler: Optional[str] = None, max_steps: int = 0,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
     """SGD / Adam with optional schedule (reference: optimizer_utils.py:8-39)."""
-    lr = make_schedule(learning_rate, scheduler, max_steps=max_steps)
+    lr = make_schedule(learning_rate, scheduler, max_steps=max_steps,
+                       steps_per_epoch=steps_per_epoch)
     name_l = name.lower()
     if name_l == "sgd":
         tx = optax.sgd(lr, momentum=momentum)

@@ -54,3 +54,29 @@ def test_bake_leaves_other_collections_untouched():
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         variables["batch_stats"], baked["batch_stats"])
+
+
+def test_bake_with_folded_bn_no_double_scaling():
+    """bn_mode='folded': baking stores the BN-folded quantized kernel and
+    neutralizes the layer's BN params so the eval-time fold is the identity
+    — without this, outputs were scaled by gamma/sqrt(var+eps) twice
+    (code-review finding)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(FP8, bn_mode="folded")
+    model = TinyModel(config=cfg)
+    x = jnp.asarray(np.random.RandomState(0).normal(0, 1, (2, 16, 16, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # non-trivial BN stats so double-folding would be glaring
+    rng = np.random.RandomState(3)
+    variables = {**variables, "batch_stats": jax.tree.map(
+        lambda v: jnp.asarray(np.abs(rng.normal(1.0, 0.3, v.shape))
+                              .astype(np.float32)), variables["batch_stats"])}
+    variables = calibrate(model, variables, [x])
+
+    y_ref = japply(model, variables, x, mode="fixed")
+    baked = bake_weights(model, variables, x)
+    y_baked = japply(model, baked, x, mode="fixed", quant_w=False)
+    np.testing.assert_allclose(np.asarray(y_baked), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)

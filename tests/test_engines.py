@@ -105,3 +105,51 @@ def test_calibration_identical_across_engines():
     a = out["parity"]["quant"]["fc"]["act_q"]["q"]["maxval"]
     b = out["bf16"]["quant"]["fc"]["act_q"]["q"]["maxval"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2)
+
+
+def test_pallas_linear_3d_input():
+    """QuantLinear pallas path on (batch, seq, features) inputs — previously
+    crashed at trace time (code-review finding)."""
+    from fp8_quantization_tpu.nn.layers import QuantLinear
+
+    cfg = _cfg("parity")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.normal(0, 1, (4, 7, 32)), jnp.float32)
+
+    lin = QuantLinear(features=16, use_bias=True, config=cfg)
+    variables = lin.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(lin, variables, [x])
+    ref = japply(lin, variables, x, mode="fixed")
+
+    lin_k = QuantLinear(features=16, use_bias=True,
+                        config=cfg.replace(engine="pallas"))
+    out = japply(lin_k, variables, x, mode="fixed")
+    assert out.shape == (4, 7, 16)
+    # unquantized input is bf16-cast in the kernel, so outputs near a bin
+    # boundary can flip one E3M4 bin (width 2^-4 = 6.25% relative)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=7e-2, atol=2e-2)
+    assert np.mean(np.abs(np.asarray(out) - np.asarray(ref))) < 2e-2
+
+
+def test_bf16_engine_quantize_input_factored():
+    """quantize_input under the bf16 engine uses the factored (bf16-exact)
+    decomposition rather than a lossy cast: result matches parity closely."""
+    from fp8_quantization_tpu.nn.layers import QuantLinear
+
+    cfg = _cfg("parity").replace(quantize_input=True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.normal(0, 1, (16, 64)), jnp.float32)
+
+    lin = QuantLinear(features=24, use_bias=True, config=cfg)
+    variables = lin.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(lin, variables, [x])
+    ref = japply(lin, variables, x, mode="fixed")
+
+    lin_b = QuantLinear(features=24, use_bias=True,
+                        config=cfg.replace(engine="bf16"))
+    out = japply(lin_b, variables, x, mode="fixed")
+    # both operands on bf16-exact normalized grids: only accumulation order
+    # + two epilogue factor multiplies differ
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -116,9 +116,33 @@ def test_int8_weight_and_asym_output():
     cfg = FusedQuantMatmulConfig(weight_method="int_sym",
                                  act_method="int_asym", mxu_dtype="float32")
     out = fused_quant_matmul(
-        x, w, wstate["delta"], jnp.zeros(2),
+        x, w, wstate["delta"],
+        jnp.asarray([0.0, wstate["signed"]], jnp.float32),
         jnp.asarray([astate["delta"], astate["zero_float"], 0.0]),
         jnp.ones(N), b, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_unsigned_weight_grid():
+    """All-non-negative weights calibrate to the unsigned grid; the kernel
+    must honor the calibrated signedness (code-review finding)."""
+    x, w, b = _data(6)
+    w = jnp.abs(w)
+    wspec = QuantizerSpec(method=QMethod.symmetric_uniform, per_channel=True)
+    wstate = q.init_state(wspec, N)
+    wmax = jnp.max(w, axis=0)
+    wstate = q.set_quant_range(wspec, wstate, jnp.zeros_like(wmax), wmax)
+    assert int(wstate["signed"]) == 0
+    wq = q.apply(wspec, wstate, w, channel_axis=-1)
+    ref = x @ wq + b
+
+    cfg = FusedQuantMatmulConfig(weight_method="int_sym", act_method="none",
+                                 mxu_dtype="float32")
+    out = fused_quant_matmul(
+        x, w, wstate["delta"],
+        jnp.asarray([0.0, wstate["signed"]], jnp.float32),
+        jnp.zeros(3), jnp.ones(N), b, cfg=cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

@@ -175,10 +175,15 @@ def test_train_epoch_runs():
 
 
 def test_make_schedule_variants():
-    s = make_schedule(0.1, "multistep:2:4")
+    s = make_schedule(0.1, "multistep:2:4")     # steps_per_epoch=1
     assert np.isclose(s(0), 0.1) and np.isclose(s(3), 0.01)
     assert np.isclose(s(5), 0.001)
-    c = make_schedule(0.1, "cosine:1.0:0.1", max_steps=10)
+    # reference semantics: milestones are EPOCHS (MultiStepLR stepped
+    # per epoch); converted via steps_per_epoch
+    s2 = make_schedule(0.1, "multistep:2", steps_per_epoch=100)
+    assert np.isclose(s2(199), 0.1) and np.isclose(s2(201), 0.01)
+    # reference semantics: cosine:<eta_min> anneals lr -> ABSOLUTE eta_min
+    c = make_schedule(0.1, "cosine:0.01", max_steps=10)
     assert np.isclose(c(0), 0.1) and np.isclose(c(10), 0.01)
     assert make_schedule(0.1, None) == 0.1
 
