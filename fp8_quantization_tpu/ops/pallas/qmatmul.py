@@ -217,9 +217,11 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
 
     bm_c, bn_c, bk_c = cfg.block_m, cfg.block_n, cfg.block_k
     if (bm_c, bn_c, bk_c) == (256, 256, 512) and min(M, K, N) >= 2048:
-        # measured on v5e: 512x1024x512 runs 8192^3 at 83 TF/s vs 37 with the
-        # small default blocks (better operand reuse per VMEM residency)
-        bm_c, bn_c, bk_c = 512, 1024, 512
+        # measured on v5e: 512^3 blocks run 8192^3 at 67 TF/s vs 37 with the
+        # small default blocks (better operand reuse per VMEM residency);
+        # larger blocks (512x1024x512: 83 TF/s) exceed the 16MB VMEM budget
+        # once the output-quant epilogue's buffers are added
+        bm_c, bn_c, bk_c = 512, 512, 512
     bm = min(bm_c, max(8, M))
     bn = min(bn_c, max(128, N))
     bk = min(bk_c, max(128, K))
