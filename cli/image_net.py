@@ -31,7 +31,8 @@ def _quant_options(f):
                           "when omitted)"),
         click.option("--architecture", type=click.Choice(
             ["mobilenet_v2_quantized", "resnet18_quantized",
-             "resnet50_quantized"]), default="resnet18_quantized"),
+             "resnet50_quantized", "vit_small_quantized"]),
+            default="resnet18_quantized"),
         click.option("--model-dir", type=str, default=None,
                      help="torch checkpoint (.pth/.tar) to convert and load"),
         click.option("--batch-size", type=int, default=64),

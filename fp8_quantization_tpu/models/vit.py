@@ -1,0 +1,136 @@
+"""Quantized Vision Transformer (capability extension beyond the reference).
+
+The reference ships ``QuantLayerNorm`` "for transformers"
+(autoquant_utils.py:166-174) but its zoo is CNN-only.  This model exercises
+the quantized-layer stack in its intended transformer setting: patch-embed
+(QuantConv) -> [QuantLayerNorm -> quantized MHSA -> residual ->
+QuantLayerNorm -> quantized MLP -> residual] x depth -> head (QuantLinear).
+
+Quantization placement follows the CNN zoo's conventions: every
+linear/conv quantizes weights + its output activations; residual adds are
+followed by a standalone activation quantizer (the QuantizedBlock pattern,
+resnet_quantized.py:39-46); softmax/attention arithmetic stays fp32 (the
+paper quantizes matmul operands, not probabilities).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.layers import (
+    QuantConv, QuantLayerNorm, QuantLinear, QuantizedActivation)
+
+
+class QuantSelfAttention(nn.Module):
+    """Multi-head self-attention with quantized qkv/out projections."""
+
+    dim: int
+    num_heads: int
+    config: LayerQuantConfig
+
+    @nn.compact
+    def __call__(self, x, **kw):
+        b, n, d = x.shape
+        h = self.num_heads
+        hd = d // h
+
+        qkv = QuantLinear(features=3 * d, use_bias=True, config=self.config,
+                          name="qkv")(x, **kw)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3, h, hd), 3, axis=2)
+        q, k, v = (t.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+                   for t in (q, k, v))
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+        attn = nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, d)
+        return QuantLinear(features=d, use_bias=True, config=self.config,
+                           name="proj")(y, **kw)
+
+
+class QuantEncoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int
+    config: LayerQuantConfig
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a)
+        y = QuantLayerNorm(config=self.config, name="ln1")(x, **kw)
+        y = QuantSelfAttention(dim=self.dim, num_heads=self.num_heads,
+                               config=self.config, name="attn")(y, **kw)
+        x = x + y
+        x = QuantizedActivation(config=self.config, name="res1_act")(
+            x, mode=mode, quant_a=quant_a)
+
+        y = QuantLayerNorm(config=self.config, name="ln2")(x, **kw)
+        y = QuantLinear(features=self.dim * self.mlp_ratio, use_bias=True,
+                        activation="gelu", config=self.config,
+                        name="mlp1")(y, **kw)
+        y = QuantLinear(features=self.dim, use_bias=True, config=self.config,
+                        name="mlp2")(y, **kw)
+        x = x + y
+        return QuantizedActivation(config=self.config, name="res2_act")(
+            x, mode=mode, quant_a=quant_a)
+
+
+class QuantizedViT(nn.Module):
+    """ViT classifier with quantized projections/norms throughout."""
+
+    num_classes: int = 1000
+    patch_size: int = 16
+    dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    config: LayerQuantConfig = LayerQuantConfig()
+    head_config: Optional[LayerQuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
+                 quant_a: bool = True, train_bn: bool = False):
+        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a,
+                  train_bn=train_bn)
+        p = self.patch_size
+        x = QuantConv(features=self.dim, kernel_size=(p, p), strides=(p, p),
+                      padding=((0, 0), (0, 0)), use_bias=True,
+                      config=self.config, name="patch_embed")(x, **kw)
+        b, gh, gw, d = x.shape
+        x = x.reshape(b, gh * gw, d)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, d), jnp.float32)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, d)), x], axis=1)
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, d), jnp.float32)
+        x = x + pos
+
+        bkw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a,
+                   train_bn=train_bn)
+        for i in range(self.depth):
+            x = QuantEncoderBlock(dim=d, num_heads=self.num_heads,
+                                  mlp_ratio=self.mlp_ratio,
+                                  config=self.config, name=f"block{i}")(x, **bkw)
+
+        x = QuantLayerNorm(config=self.config, name="ln_final")(
+            x, mode=mode, quant_w=quant_w, quant_a=quant_a)
+        return QuantLinear(features=self.num_classes, use_bias=True,
+                           config=self.head_config or self.config,
+                           name="head")(x[:, 0], mode=mode, quant_w=quant_w,
+                                        quant_a=quant_a)
+
+
+def vit_small_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
+                        num_classes: int = 1000, **kw) -> QuantizedViT:
+    """ViT-S/16.  ``quant_setup='FP_logits'`` keeps head logits fp32."""
+    head = base.fp32_acts() if quant_setup == "FP_logits" else None
+    return QuantizedViT(num_classes=num_classes, patch_size=16, dim=384,
+                        depth=12, num_heads=6, config=base,
+                        head_config=head, **kw)
