@@ -26,20 +26,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench(fn, args, iters=20, warmup=3, repeats=3):
-    """Median of `repeats` timing windows — the dev-tunnel TPU shows ~15%
-    run-to-run variance, so a single window is too noisy for the metric."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
+def _bench_pair(fn_a, fn_b, args, iters=20, warmup=3, repeats=3):
+    """Median times of two functions with INTERLEAVED windows (A B A B ...).
+
+    The dev-tunnel TPU drifts up to ~2x across minutes; timing the two
+    candidates back-to-back in alternating windows keeps their ratio honest
+    where sequential blocks would not."""
+    for fn in (fn_a, fn_b):
+        for _ in range(warmup):
             out = fn(*args)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[len(times) // 2]
+    times = {0: [], 1: []}
+    for _ in range(repeats):
+        for idx, fn in ((0, fn_a), (1, fn_b)):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            times[idx].append((time.perf_counter() - t0) / iters)
+    med = lambda ts: sorted(ts)[len(ts) // 2]
+    return med(times[0]), med(times[1])
 
 
 def main():
@@ -70,8 +76,7 @@ def main():
     fp32_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
                                                quant_w=False, quant_a=False))
 
-    t_fp8 = _bench(fp8_fn, (variables, x))
-    t_fp32 = _bench(fp32_fn, (variables, x))
+    t_fp8, t_fp32 = _bench_pair(fp8_fn, fp32_fn, (variables, x))
 
     ips = batch / t_fp8
     print(json.dumps({
