@@ -17,9 +17,9 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.factored import fadd, fmean, materialize
 from fp8_quantization_tpu.nn.layers import QuantConv, QuantizedActivation, QuantLinear
 
 # (expand_ratio t, channels c, repeats n, stride s) — mobilenet_v2.py:74-83
@@ -50,9 +50,11 @@ class QuantInvertedResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, train_bn: bool = False):
-        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a, train_bn=train_bn)
-        inp = x.shape[-1]
+                 quant_a: bool = True, train_bn: bool = False,
+                 out: str = "value"):
+        kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a,
+                  train_bn=train_bn, out=out)
+        inp = (x.norm if hasattr(x, "norm") else x).shape[-1]
         hidden = round(inp * self.expand_ratio)
         use_res = self.strides == (1, 1) and inp == self.features
 
@@ -70,9 +72,10 @@ class QuantInvertedResidual(nn.Module):
                       config=self.config, name="project")(y, **kw)
 
         if use_res:
-            y = x + y
+            y = fadd(x, y)
             y = QuantizedActivation(config=self.block_act_config or self.config,
-                                    name="block_act")(y, mode=mode, quant_a=quant_a)
+                                    name="block_act")(y, mode=mode,
+                                                      quant_a=quant_a, out=out)
         return y
 
 
@@ -94,6 +97,9 @@ class QuantizedMobileNetV2(nn.Module):
                  quant_a: bool = True, train_bn: bool = False):
         kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a, train_bn=train_bn)
         cfg = self.config
+        # cross-layer factored fast path (see resnet.py / nn/factored.py)
+        if mode == "fixed" and cfg.engine in ("bf16", "pallas"):
+            kw["out"] = "factored"
         input_channel = int(32 * self.width_mult)
         last_channel = (int(1280 * self.width_mult)
                         if self.width_mult > 1.0 else 1280)
@@ -122,15 +128,18 @@ class QuantizedMobileNetV2(nn.Module):
                       name="head")(x, **kw)
         head_q = QuantizedActivation(config=head_cfg, name="head_act")
         if not head_cfg.quantize_input:
-            x = head_q(x, mode=mode, quant_a=quant_a)
+            x = head_q(x, mode=mode, quant_a=quant_a,
+                       out=kw.get("out", "value"))
 
-        x = jnp.mean(x, axis=(1, 2))
+        x = fmean(x, axis=(1, 2))
         if self.tie_avgpool and not head_cfg.quantize_input:
-            x = head_q(x, mode=mode, quant_a=quant_a, update_range=False)
+            x = head_q(x, mode=mode, quant_a=quant_a, update_range=False,
+                       out=kw.get("out", "value"))
 
         x = QuantLinear(features=self.num_classes, use_bias=True,
-                        config=self.fc_config or cfg, name="classifier")(x, **kw)
-        return x
+                        config=self.fc_config or cfg, name="classifier")(
+            x, **{**kw, "out": "value"})   # logits stay a plain array
+        return materialize(x)
 
 
 def mobilenet_v2_configs(base: LayerQuantConfig, quant_setup: Optional[str]):

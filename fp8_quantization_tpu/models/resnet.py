@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.factored import fadd, fmax_pool, fmean, materialize
 from fp8_quantization_tpu.nn.layers import QuantConv, QuantLinear, QuantizedActivation
 
 
@@ -104,11 +105,20 @@ class QuantizedResNet(nn.Module):
         fc_cfg = self.fc_config or cfg
         block_act_cfg = self.block_act_config or cfg
 
+        # Fast inference interchange (nn/factored.py): in fixed mode under
+        # the bf16/pallas engines, layers exchange Factored(norm_bf16,
+        # factor) pairs — quant epilogues write bf16, matmuls consume the
+        # exact normalized grid.  Layers that can't emit (fp32 acts,
+        # quantize_input presets) return plain arrays; the f* helpers and
+        # layer entries accept both.
+        if mode == "fixed" and cfg.engine in ("bf16", "pallas"):
+            kw["out"] = "factored"
+
         # stem: conv7x7/2 + bn + relu (BN-fused quantized), then maxpool 3x3/2
         x = QuantConv(features=64, kernel_size=(7, 7), strides=(2, 2),
                       padding=_same_pad(7), bn=True, activation="relu",
                       config=stem_cfg, name="stem")(x, **kw)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = fmax_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         num_blocks = sum(self.stage_sizes)
@@ -124,8 +134,9 @@ class QuantizedResNet(nn.Module):
                 width = widths[stage]
                 out_feats = width * (4 if self.bottleneck else 1)
 
+                in_feats = (x.norm if hasattr(x, "norm") else x).shape[-1]
                 needs_downsample = (strides != (1, 1)
-                                    or x.shape[-1] != out_feats)
+                                    or in_feats != out_feats)
                 if needs_downsample:
                     residual = QuantConv(
                         features=out_feats, kernel_size=(1, 1), strides=strides,
@@ -139,22 +150,25 @@ class QuantizedResNet(nn.Module):
                              name=f"layer{stage + 1}_{b}")(x, **kw)
 
                 # add -> relu -> block act quantizer (resnet_quantized.py:39-46)
-                y = nn.relu(y + residual)
+                y = nn.relu(fadd(y, residual))
                 q = QuantizedActivation(config=ba_cfg,
                                         name=f"layer{stage + 1}_{b}_act")
-                x = q(y, mode=mode, quant_a=quant_a)
+                x = q(y, mode=mode, quant_a=quant_a,
+                      out=kw.get("out", "value"))
                 last_q = q
                 block_idx += 1
 
         # global avg pool, quantized by the tied last-block quantizer without
         # range update (resnet_quantized.py:84-89)
-        x = jnp.mean(x, axis=(1, 2))
+        x = fmean(x, axis=(1, 2))
         if self.tie_avgpool and last_q is not None:
-            x = last_q(x, mode=mode, quant_a=quant_a, update_range=False)
+            x = last_q(x, mode=mode, quant_a=quant_a, update_range=False,
+                       out=kw.get("out", "value"))
 
         x = QuantLinear(features=self.num_classes, use_bias=True,
-                        config=fc_cfg, name="fc")(x, **kw)
-        return x
+                        config=fc_cfg, name="fc")(
+            x, **{**kw, "out": "value"})   # logits stay a plain array
+        return materialize(x)
 
 
 def resnet_configs(base: LayerQuantConfig, quant_setup: Optional[str]):

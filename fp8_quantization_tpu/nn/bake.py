@@ -3,10 +3,20 @@
 The reference re-runs the weight fake-quant every forward (hijacker.py:93-98)
 — correct for QAT, wasted work for deployment.  ``bake_weights`` runs one
 forward with the ``baked_weights`` collection mutable (each quantized layer
-sows its fake-quantized kernel, nn/layers.py), writes those kernels back
-into ``params``, and the model is then evaluated with ``quant_w=False``:
-bit-identical outputs (the conv consumes exactly the same tensor) with the
-whole weight-quant chain removed from the step.
+sows its quantized kernel, nn/layers.py), writes those kernels back into
+``params``, and the model is then evaluated with ``quant_w=False``:
+identical outputs with the whole weight-quant chain removed from the step.
+
+Engine-dependent bake format:
+  * 'parity' engine: the kernel is the full-scale fake-quant value (the conv
+    consumes exactly the same fp32 tensor as before).
+  * 'bf16'/'pallas' engines: the kernel is the *normalized-grid* value
+    (bf16-exact — the factored decomposition, ops/quantizer.apply_factored)
+    and its per-channel factor is stored in a separate ``baked`` variable
+    collection, which the layer reads under ``quant_w=False`` and folds
+    into the matmul output.  Round 1 silently baked nothing for these
+    engines (the factored branch never sowed), leaving quant_w=False
+    inference running on UNQUANTIZED weights — fixed here.
 
 Quantization idempotence (Q(Q(w)) == Q(w), tested in test_fp8_ops) means
 calibrating or re-baking on baked weights is also a no-op.
@@ -21,10 +31,9 @@ import jax
 
 def bake_weights(model, variables: Dict[str, Any], example_input, *,
                  bn_eps: float = 1e-5) -> Dict[str, Any]:
-    """Return variables with fake-quantized kernels written into params.
+    """Return variables with quantized kernels (and factors) baked in.
 
-    Run with the parity engine (the default) so the baked values are the
-    exact grid values; evaluate afterwards with ``quant_w=False``.
+    Evaluate afterwards with ``quant_w=False``.
 
     bn_mode='folded' models bake the BN-FOLDED quantized kernel, so the BN
     parameters of every baked layer are neutralized (gamma=1, mean=0,
@@ -41,6 +50,13 @@ def bake_weights(model, variables: Dict[str, Any], example_input, *,
                      "fp32_after") == "folded"
 
     new_stats = dict(variables.get("batch_stats", {}))
+    baked_factors: Dict[str, Any] = {}
+
+    def _set_nested(root, path, name, value):
+        node = root
+        for k in path:
+            node = node.setdefault(k, {})
+        node[name] = value
 
     def _merge(params, baked_tree, stats, path=()):
         out = dict(params)
@@ -51,6 +67,12 @@ def bake_weights(model, variables: Dict[str, Any], example_input, *,
                 out[key] = _merge(out[key], sub,
                                   stats.get(key, {}) if isinstance(stats, dict)
                                   else {}, path + (key,))
+        if ("w_factor" in baked_tree
+                and not isinstance(baked_tree["w_factor"], dict)):
+            # factored engines: per-channel factor rides in the 'baked'
+            # collection; nn/layers.py reads it under quant_w=False
+            _set_nested(baked_factors, path, "w_factor",
+                        baked_tree["w_factor"])
         for name in ("kernel", "scale"):
             if name in baked_tree and name in out and not isinstance(
                     baked_tree[name], dict):
@@ -79,6 +101,8 @@ def bake_weights(model, variables: Dict[str, Any], example_input, *,
     new_params = _merge(variables["params"], baked,
                         variables.get("batch_stats", {}))
     out_vars = {**variables, "params": new_params}
+    if baked_factors:
+        out_vars["baked"] = baked_factors
     if folded and new_stats:
         out_vars["batch_stats"] = new_stats
     return out_vars

@@ -45,6 +45,11 @@ class LayerQuantConfig:
     # 'pallas' — fused quant+matmul+epilogue kernel for linear/1x1-conv in
     #            fixed mode (ops/pallas/qmatmul.py); 'bf16' path elsewhere
     engine: str = "parity"
+    # Factored fast path only (nn/factored.py): let convs/matmuls whose
+    # output is immediately re-quantized onto an <=8-bit grid store their
+    # result in bfloat16 (fp32 MXU accumulation; ~2^-9 store rounding, far
+    # below the quantizer's step) — halves the epilogue's HBM traffic.
+    conv_out_bf16: bool = False
 
     def replace(self, **kw) -> "LayerQuantConfig":
         return dataclasses.replace(self, **kw)
@@ -84,6 +89,7 @@ def make_layer_config(
     bn_mode: str = "fp32_after",
     engine: str = "parity",
     grad_estimator: str = "ste",
+    conv_out_bf16: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -116,4 +122,5 @@ def make_layer_config(
         weight_quant=_qspec(qmethod, n_bits, per_channel_weights),
         act_quant=_qspec(act_qmethod, n_bits_act or n_bits, False),
         weight_range=weight_range, act_range=act_range,
-        quantize_input=quantize_input, bn_mode=bn_mode, engine=engine)
+        quantize_input=quantize_input, bn_mode=bn_mode, engine=engine,
+        conv_out_bf16=conv_out_bf16)

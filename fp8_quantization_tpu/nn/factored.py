@@ -1,0 +1,86 @@
+"""Cross-layer factored activations: the fast inference interchange format.
+
+The reference's hot path fake-quantizes every activation tensor to full-scale
+fp32 values between layers (fp8_quantizer.py:91-133 around hijacker.py:70-86),
+so each layer boundary costs a full fp32 HBM round trip plus a *lossy* cast
+when the next matmul runs in bf16.  Round-1 profiling (RESULTS.md ablation)
+showed this activation fake-quant chain is the dominant quantization tax
+(~2.5 ms of a ~10 ms ResNet-18 step).
+
+The TPU-native fix: a fake-quantized tensor is exactly ``norm * factor`` where
+
+  * ``norm``    — the value on the quantizer's *normalized* grid: an
+                  <=8-significand-bit number (FP8: (M+1)-bit mantissa times a
+                  power of two; INT: the bare integer) — EXACT in bfloat16;
+  * ``factor``  — a per-tensor fp32 scalar (act quantizers are per-tensor).
+
+Layers therefore exchange ``Factored(norm=bf16, factor=f32)`` pairs in
+``mode='fixed'`` under the bf16/pallas engines:
+
+  * layer N's output-quant epilogue (BN -> act -> quantize) fuses into ONE
+    XLA fusion that writes *bf16* — half the HBM traffic of the fp32 path;
+  * layer N+1 feeds ``norm`` straight to the MXU (zero-loss: the round-1
+    bf16 engine cast full-scale fake-quant values to bf16, a ~2^-9 lossy
+    cast; VERDICT.md weak point 3) and multiplies ``factor`` into its own
+    output before BN/bias — scalars commute through convolutions.
+
+Residual adds, max pools and mean pools have factored-aware helpers below;
+anything else just calls :func:`materialize`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Factored(NamedTuple):
+    """A fake-quantized tensor in normalized form: value == norm * factor."""
+
+    norm: jax.Array      # bfloat16, values on the normalized quantizer grid
+    factor: jax.Array    # float32 scalar (per-tensor activation quantizers)
+
+
+MaybeFactored = Union[jax.Array, Factored]
+
+
+def is_factored(x: Any) -> bool:
+    return isinstance(x, Factored)
+
+
+def split(x: MaybeFactored) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """(operand, factor_or_None) — the layer-entry unpacking."""
+    if isinstance(x, Factored):
+        return x.norm, x.factor
+    return x, None
+
+
+def materialize(x: MaybeFactored) -> jax.Array:
+    """Full-scale fp32 value (the fake-quantized tensor the reference passes)."""
+    if isinstance(x, Factored):
+        return x.norm.astype(jnp.float32) * x.factor
+    return x
+
+
+def fadd(a: MaybeFactored, b: MaybeFactored) -> jax.Array:
+    """Residual add in fp32 (reference adds full-scale values,
+    resnet_quantized.py:39-46).  Fuses with the consumer's requantization."""
+    return materialize(a) + materialize(b)
+
+
+def fmax_pool(x: MaybeFactored, window_shape, strides=None,
+              padding="VALID") -> MaybeFactored:
+    """Max pool that stays factored: factor > 0, so max commutes with it."""
+    if isinstance(x, Factored):
+        return Factored(nn.max_pool(x.norm, window_shape, strides=strides,
+                                    padding=padding), x.factor)
+    return nn.max_pool(x, window_shape, strides=strides, padding=padding)
+
+
+def fmean(x: MaybeFactored, axis: Sequence[int]) -> jax.Array:
+    """Mean pool to a full-scale fp32 value (the result is off-grid anyway;
+    the zoo requantizes it with the tied quantizer, resnet_quantized.py:84-89)."""
+    return jnp.mean(materialize(x) if isinstance(x, Factored) else x, axis=axis)

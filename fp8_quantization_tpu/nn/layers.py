@@ -30,6 +30,8 @@ import jax.numpy as jnp
 
 from fp8_quantization_tpu.nn.activations import get_activation
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.factored import Factored
+from fp8_quantization_tpu.nn import factored
 from fp8_quantization_tpu.nn.quantizers import Quantizer
 
 Dtype = Any
@@ -39,6 +41,18 @@ def _maybe_cast(x, w, matmul_dtype):
     if matmul_dtype is None:
         return x, w
     return x.astype(matmul_dtype), w.astype(matmul_dtype)
+
+
+def _factored_act_ok(cfg: LayerQuantConfig) -> bool:
+    """Whether this layer's output-quant can emit a Factored tensor.
+
+    The normalized grid must be bf16-exact (<= 8 significand bits) and the
+    factor must be a per-tensor scalar (scalars commute through convs;
+    per-input-channel scales would not).
+    """
+    return (cfg.engine in ("bf16", "pallas")
+            and not cfg.act_quant.per_channel
+            and cfg.act_quant.n_bits <= 8)
 
 
 class QuantizedLayerBase(nn.Module):
@@ -87,12 +101,26 @@ class QuantizedLayerBase(nn.Module):
             return wq
         return w
 
-    def _quant_out(self, y, mode, quant_a):
+    def _quant_out(self, y, mode, quant_a, out: str = "value"):
+        """Activation + output quantization.
+
+        ``out='factored'`` (fixed-mode fast path): emit
+        ``Factored(norm_bf16, factor)`` instead of the full-scale fp32
+        fake-quant value — the quant chain fuses into this layer's epilogue
+        and writes half the bytes; the consumer feeds ``norm`` straight to
+        the MXU (zero-loss) and folds ``factor`` after its matmul.
+        Falls back to a plain array whenever this layer does not quantize
+        its output (quant_a off / quantize_input configs / >8-bit grids).
+        """
         act = get_activation(self.activation)
         if act is not None:
             y = act(y)
         if (not self.config.quantize_input) and quant_a and self.config.quant_a:
-            y = self._act_quantizer()(y, mode=mode)
+            q_mod = self._act_quantizer()
+            if out == "factored" and _factored_act_ok(self.config):
+                norm, factor = q_mod(y, mode=mode, out="factored")
+                return Factored(norm.astype(jnp.bfloat16), factor)
+            return q_mod(y, mode=mode)
         return y
 
     # ---- engine paths -----------------------------------------------------
@@ -109,6 +137,15 @@ class QuantizedLayerBase(nn.Module):
             wq_mod = self._weight_quantizer(num_channels)
             if eng in ("bf16", "pallas"):
                 wn, w_factor = wq_mod(kernel, mode=mode, out="factored")
+                # bake support (nn/bake.py): sow the normalized kernel and
+                # its factor; bake writes the kernel into params and the
+                # factor into the 'baked' collection so quant_w=False
+                # inference drops this whole chain with identical outputs.
+                self.sow("baked_weights", "kernel", wn,
+                         init_fn=lambda: 0., reduce_fn=lambda _, v: v)
+                self.sow("baked_weights", "w_factor",
+                         jnp.asarray(w_factor, jnp.float32).reshape(-1),
+                         init_fn=lambda: 0., reduce_fn=lambda _, v: v)
                 return (x.astype(jnp.bfloat16), wn.astype(jnp.bfloat16),
                         w_factor)
             w = wq_mod(kernel, mode=mode)
@@ -119,7 +156,14 @@ class QuantizedLayerBase(nn.Module):
             xm, wm = _maybe_cast(x, w, self.matmul_dtype)
             return xm, wm, None
         if eng in ("bf16", "pallas"):
-            return x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16), None
+            w_factor = None
+            if self.has_variable("baked", "w_factor"):
+                # baked normalized kernel: params hold bf16-exact grid values;
+                # the channel factor was stowed by nn/bake.py
+                wf = self.get_variable("baked", "w_factor")
+                w_factor = wf.reshape((1,) * (x.ndim - 1) + (-1,))
+            return (x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+                    w_factor)
         xm, wm = _maybe_cast(x, kernel, self.matmul_dtype)
         return xm, wm, None
 
@@ -139,6 +183,36 @@ class QuantizedLayerBase(nn.Module):
                 or cfg.act_quant.per_channel):
             return False
         return True
+
+    def _conv_out_dtype(self, mode, quant_a, out):
+        """Matmul/conv output dtype.
+
+        When the output is about to be re-quantized onto an <=8-bit grid
+        (factored fast path) and ``config.conv_out_bf16`` opts in, the conv
+        may emit bfloat16 (fp32 MXU accumulation, bf16 store): the ~2^-9
+        store rounding is far below the quantizer's own step and the
+        epilogue's HBM traffic halves.  fp32 otherwise.
+        """
+        cfg = self.config
+        if (cfg.conv_out_bf16 and out == "factored" and mode == "fixed"
+                and quant_a and cfg.quant_a and not cfg.quantize_input
+                and _factored_act_ok(cfg)):
+            return jnp.bfloat16
+        return jnp.float32
+
+    def _pallas_wins(self, x_shape, features) -> bool:
+        """Shape gate for the fused kernel vs the XLA conv path.
+
+        Measured on v5e (RESULTS.md): the fused kernel wins on deep/narrow
+        1x1s (late MobileNet layers); tall-skinny early layers tile better
+        as XLA convs.  ops/pallas/autotune.py overrides this heuristic with
+        on-device measurement when enabled.
+        """
+        from fp8_quantization_tpu.ops.pallas.autotune import pallas_wins
+        m = 1
+        for d in x_shape[:-1]:
+            m *= d
+        return pallas_wins(m, x_shape[-1], features)
 
     def _bn_folded_kernel(self, kernel, features, bn_eps):
         """bn_mode='folded': BN scale folded into the weights *before*
@@ -162,9 +236,16 @@ class QuantizedLayerBase(nn.Module):
         return kernel * inv.reshape(shape), beta - ra_mean.value * inv
 
     def _pallas_forward(self, x2d, kernel2d, features, mode, quant_w, quant_a,
-                        bn, bn_eps, use_bias, shift_override=None):
+                        bn, bn_eps, use_bias, shift_override=None,
+                        x_factor=None, out: str = "value"):
         """Fused quant-matmul for (M, K) x (K, N) with bias/BN + activation
-        + act quant in the kernel epilogue (ops/pallas/qmatmul.py)."""
+        + act quant in the kernel epilogue (ops/pallas/qmatmul.py).
+
+        ``x_factor`` (incoming Factored input): folded into the epilogue
+        scale (scalars commute through the matmul).  ``out='factored'``:
+        the epilogue emits the *normalized* output (bf16) and the act
+        factor is returned alongside (cross-layer factored protocol).
+        """
         from fp8_quantization_tpu.ops.pallas import (
             FusedQuantMatmulConfig, fused_quant_matmul)
         from fp8_quantization_tpu.ops.quantizer import QMethod
@@ -242,12 +323,35 @@ class QuantizedLayerBase(nn.Module):
             shift = self.param("bias", nn.initializers.zeros,
                                (features,), jnp.float32)
 
+        if x_factor is not None:
+            # incoming Factored input: its per-tensor factor commutes through
+            # the matmul — fold into the epilogue scale (shift is unscaled
+            # because scale applies before shift in the kernel epilogue)
+            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
+        if (not (quant_w and cfg.quant_w)
+                and self.has_variable("baked", "w_factor")):
+            # baked normalized kernel (nn/bake.py): fold its per-channel
+            # factor into the epilogue scale
+            scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+
+        emit_norm = (out == "factored" and a_method != "none"
+                     and not cfg.quantize_input and _factored_act_ok(cfg))
         kcfg = FusedQuantMatmulConfig(
             weight_method=w_method, act_method=a_method,
             quantize_input=cfg.quantize_input, activation=self.activation,
-            n_bits=cfg.weight_quant.n_bits, act_n_bits=cfg.act_quant.n_bits)
-        return fused_quant_matmul(x2d, kernel2d, w_channel, w_scalars,
-                                  a_scalars, scale, shift, cfg=kcfg)
+            n_bits=cfg.weight_quant.n_bits, act_n_bits=cfg.act_quant.n_bits,
+            emit_norm=emit_norm)
+        y = fused_quant_matmul(x2d, kernel2d, w_channel, w_scalars,
+                               a_scalars, scale, shift, cfg=kcfg)
+        if not emit_norm:
+            return y
+        if a_method == "fp8":
+            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
+                          cfg.act_quant.n_bits - a_scalars[2])
+            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
+        else:  # int_asym: factor is the scale itself
+            factor = a_scalars[0]
+        return Factored(y, factor)
 
 
 def _batch_norm(mdl: nn.Module, y, features: int, eps: float, momentum: float,
@@ -295,7 +399,11 @@ class QuantConv(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, train_bn: bool = False):
+                 quant_a: bool = True, train_bn: bool = False,
+                 out: str = "value"):
+        if mode == "fp32":
+            mode, quant_w, quant_a = "fixed", False, False
+        x, x_factor_in = factored.split(x)
         in_features = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
@@ -316,31 +424,34 @@ class QuantConv(QuantizedLayerBase):
                 and self.kernel_size == (1, 1) and self.strides == (1, 1)
                 and self.feature_group_count == 1
                 and self.padding in ("VALID", ((0, 0), (0, 0)))
-                # fused kernel wins on deep/narrow 1x1s (late MobileNet
-                # layers); tall-skinny early layers tile better as XLA convs
-                and x.shape[0] * x.shape[1] * x.shape[2] <= 32768
-                and x.shape[-1] >= 256):
+                and self._pallas_wins(x.shape, self.features)):
             n, h, w_, c = x.shape
             y2d = self._pallas_forward(
                 x.reshape(-1, c), kernel.reshape(c, self.features),
                 self.features, mode, quant_w, quant_a,
                 self.bn and folded_shift is None, self.bn_eps, self.use_bias,
-                shift_override=folded_shift)
+                shift_override=folded_shift, x_factor=x_factor_in, out=out)
+            if isinstance(y2d, Factored):
+                return Factored(y2d.norm.reshape(n, h, w_, self.features),
+                                y2d.factor)
             return y2d.reshape(n, h, w_, self.features)
 
-        x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        if x_factor_in is None:
+            x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        else:
+            x_factor = x_factor_in   # input arrived pre-quantized (Factored)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_general_dilated(
             xm, wm, window_strides=self.strides, padding=self.padding,
             feature_group_count=self.feature_group_count,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=self._conv_out_dtype(mode, quant_a, out))
         y = y.astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor          # (1,1,1,O) or scalar, see apply_factored
         if x_factor is not None:
-            y = y * x_factor          # per-tensor input-quant factor
+            y = y * x_factor          # per-tensor input factor
 
         if folded_shift is not None:
             y = y + folded_shift
@@ -350,7 +461,7 @@ class QuantConv(QuantizedLayerBase):
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
 
-        return self._quant_out(y, mode, quant_a)
+        return self._quant_out(y, mode, quant_a, out=out)
 
     def _bn(self, y, train_bn: bool):
         return _batch_norm(self, y, self.features, self.bn_eps,
@@ -378,7 +489,11 @@ class QuantConv1d(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, train_bn: bool = False):
+                 quant_a: bool = True, train_bn: bool = False,
+                 out: str = "value"):
+        if mode == "fp32":
+            mode, quant_w, quant_a = "fixed", False, False
+        x, x_factor_in = factored.split(x)
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
             (self.kernel_size, x.shape[-1] // self.feature_group_count,
@@ -391,14 +506,18 @@ class QuantConv1d(QuantizedLayerBase):
             kernel, folded_shift = self._bn_folded_kernel(
                 kernel, self.features, self.bn_eps)
 
-        x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        if x_factor_in is None:
+            x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        else:
+            x_factor = x_factor_in
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_general_dilated(
             xm, wm, window_strides=(self.strides,), padding=self.padding,
             feature_group_count=self.feature_group_count,
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).astype(jnp.float32)
+            preferred_element_type=self._conv_out_dtype(
+                mode, quant_a, out)).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
         if x_factor is not None:
@@ -412,7 +531,7 @@ class QuantConv1d(QuantizedLayerBase):
         elif self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
-        return self._quant_out(y, mode, quant_a)
+        return self._quant_out(y, mode, quant_a, out=out)
 
 
 class QuantConvTranspose(QuantizedLayerBase):
@@ -433,17 +552,25 @@ class QuantConvTranspose(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, train_bn: bool = False):
+                 quant_a: bool = True, train_bn: bool = False,
+                 out: str = "value"):
+        if mode == "fp32":
+            mode, quant_w, quant_a = "fixed", False, False
+        x, x_factor_in = factored.split(x)
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
             (*self.kernel_size, x.shape[-1], self.features), jnp.float32)
 
-        x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        if x_factor_in is None:
+            x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        else:
+            x_factor = x_factor_in
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
         y = jax.lax.conv_transpose(
             xm, wm, strides=self.strides, padding=self.padding,
-            preferred_element_type=jnp.float32).astype(jnp.float32)
+            preferred_element_type=self._conv_out_dtype(
+                mode, quant_a, out)).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
         if x_factor is not None:
@@ -451,7 +578,7 @@ class QuantConvTranspose(QuantizedLayerBase):
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
-        return self._quant_out(y, mode, quant_a)
+        return self._quant_out(y, mode, quant_a, out=out)
 
 
 class QuantLinear(QuantizedLayerBase):
@@ -466,7 +593,11 @@ class QuantLinear(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, train_bn: bool = False):
+                 quant_a: bool = True, train_bn: bool = False,
+                 out: str = "value"):
+        if mode == "fp32":
+            mode, quant_w, quant_a = "fixed", False, False
+        x, x_factor_in = factored.split(x)
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (in_features, self.features), jnp.float32)
@@ -479,19 +610,27 @@ class QuantLinear(QuantizedLayerBase):
             kernel, folded_shift = self._bn_folded_kernel(
                 kernel, self.features, self.bn_eps)
 
-        if self._pallas_supported(mode, train_bn):
+        if (self._pallas_supported(mode, train_bn)
+                and self._pallas_wins(x.shape, self.features)):
             # fused kernel is 2-D; collapse leading batch dims and restore
             x2d = x.reshape(-1, x.shape[-1])
             y2d = self._pallas_forward(
                 x2d, kernel, self.features, mode, quant_w, quant_a,
                 self.bn and folded_shift is None, self.bn_eps, self.use_bias,
-                shift_override=folded_shift)
-            return y2d.reshape(*x.shape[:-1], self.features)
+                shift_override=folded_shift, x_factor=x_factor_in, out=out)
+            shape = (*x.shape[:-1], self.features)
+            if isinstance(y2d, Factored):
+                return Factored(y2d.norm.reshape(shape), y2d.factor)
+            return y2d.reshape(shape)
 
-        x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        if x_factor_in is None:
+            x, x_factor = self._quant_in_engine(x, mode, quant_a)
+        else:
+            x_factor = x_factor_in
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
-        y = jnp.dot(xm, wm, preferred_element_type=jnp.float32).astype(jnp.float32)
+        y = jnp.dot(xm, wm, preferred_element_type=self._conv_out_dtype(
+            mode, quant_a, out)).astype(jnp.float32)
         if w_factor is not None:
             y = y * w_factor
         if x_factor is not None:
@@ -506,7 +645,7 @@ class QuantLinear(QuantizedLayerBase):
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.features,), jnp.float32)
 
-        return self._quant_out(y, mode, quant_a)
+        return self._quant_out(y, mode, quant_a, out=out)
 
 
 class QuantLayerNorm(QuantizedLayerBase):
@@ -520,7 +659,11 @@ class QuantLayerNorm(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, **_):
+                 quant_a: bool = True, out: str = "value", **_):
+        if mode == "fp32":
+            mode, quant_w, quant_a = "fixed", False, False
+        # normalization is not scale-invariant in its shift: materialize
+        x = factored.materialize(x).astype(jnp.float32)
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
@@ -531,7 +674,7 @@ class QuantLayerNorm(QuantizedLayerBase):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * w + bias
-        return self._quant_out(y, mode, quant_a)
+        return self._quant_out(y, mode, quant_a, out=out)
 
 
 class QuantizedActivation(nn.Module):
@@ -544,9 +687,14 @@ class QuantizedActivation(nn.Module):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_a: bool = True,
-                 update_range: bool = True):
-        if quant_a and self.config.quant_a:
-            return Quantizer(spec=self.config.act_quant,
-                             range_spec=self.config.act_range,
-                             name="act_q")(x, mode=mode, update_range=update_range)
+                 update_range: bool = True, out: str = "value"):
+        x = factored.materialize(x)
+        if mode != "fp32" and quant_a and self.config.quant_a:
+            q_mod = Quantizer(spec=self.config.act_quant,
+                              range_spec=self.config.act_range, name="act_q")
+            if out == "factored" and _factored_act_ok(self.config):
+                norm, factor = q_mod(x, mode=mode, update_range=update_range,
+                                     out="factored")
+                return Factored(norm.astype(jnp.bfloat16), factor)
+            return q_mod(x, mode=mode, update_range=update_range)
         return x

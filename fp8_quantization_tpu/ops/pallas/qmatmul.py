@@ -48,6 +48,11 @@ class FusedQuantMatmulConfig:
     block_k: int = 512
     mxu_dtype: str = "bfloat16"         # "bfloat16" (exact for 8-bit grids)
                                         # | "float32" (parity debugging)
+    emit_norm: bool = False             # output-quant epilogue emits the
+                                        # *normalized* grid value in bf16
+                                        # (cross-layer factored protocol,
+                                        # nn/factored.py); caller re-applies
+                                        # the per-tensor act factor
 
 
 def _fp8_quantize_tile(x, maxval, mbits, sign_bits, normalized=False,
@@ -167,12 +172,13 @@ def _qmatmul_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref, shift_ref,
         if not cfg.quantize_input:
             if cfg.act_method == "fp8":
                 y = _fp8_quantize_tile(y, as_ref[0, 0], as_ref[0, 1],
-                                       as_ref[0, 2],
+                                       as_ref[0, 2], normalized=cfg.emit_norm,
                                        n_bits=float(cfg.act_n_bits))
             elif cfg.act_method == "int_asym":
                 y = _int_asym_quantize_tile(y, as_ref[0, 0], as_ref[0, 1],
-                                            cfg.act_n_bits)
-        out_ref[:] = y
+                                            cfg.act_n_bits,
+                                            normalized=cfg.emit_norm)
+        out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _pad_to(x, m, axis):
@@ -210,6 +216,9 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
     M, K = x.shape
     K2, N = w.shape
     assert K == K2, (x.shape, w.shape)
+    if cfg.emit_norm:
+        assert cfg.act_method != "none" and not cfg.quantize_input, cfg
+    out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
     # Mosaic compiles for TPU only; the CPU backend (tests) runs the
     # interpreter — numerics identical.
@@ -273,7 +282,7 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Np * Kp,
