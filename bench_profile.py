@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Step-time / MFU breakdown of the quantized inference path (VERDICT item 4).
+
+Times a matrix of ResNet-18 configurations with interleaved windows on the
+attached device and prints, per variant: step ms, img/s, TFLOP/s, MFU vs the
+v5e's 197 TF/s bf16 peak, plus XLA's own cost analysis (flops, bytes
+accessed) for the compiled executable — the number that separates
+"HBM-bound" from "tax in the epilogue math".
+
+Usage: python bench_profile.py [--batch 128] [--trace DIR]
+"""
+
+import argparse
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/fp8tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK = 197e12   # TF/s per chip
+RESNET18_GFLOP = 1.824   # fwd, 224x224, counting MAC=2 flops
+
+
+_SETUP_CACHE = {}
+
+
+def build(engine: str, conv_out_bf16: bool, batch: int):
+    """Model + baked variables + input.  Calibration/bake are shared per
+    engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.models import resnet18_quantized
+    from fp8_quantization_tpu.nn.bake import bake_weights
+    from fp8_quantization_tpu.nn.config import make_layer_config
+
+    config = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax", engine=engine,
+        conv_out_bf16=conv_out_bf16)
+    model = resnet18_quantized(config, num_classes=1000)
+    if "x" not in _SETUP_CACHE:
+        rng = np.random.RandomState(0)
+        _SETUP_CACHE["x"] = jnp.asarray(
+            rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+    x = _SETUP_CACHE["x"]
+    fmt = "parity" if engine == "parity" else "factored"
+    if fmt not in _SETUP_CACHE:
+        variables = model.init(jax.random.PRNGKey(0), x[:8])
+        variables = calibrate(model, variables, [x[:8]])
+        _SETUP_CACHE[fmt] = bake_weights(model, variables, x[:1])
+    return model, _SETUP_CACHE[fmt], x
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--trace", default=None,
+                    help="capture a jax.profiler trace of each variant here")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    variants = {}
+
+    def add(name, engine, conv_bf16, quant_a):
+        model, variables, x = build(engine, conv_bf16, args.batch)
+        fn = jax.jit(lambda v, xx: model.apply(
+            v, xx, mode="fixed", quant_w=False, quant_a=quant_a))
+        variants[name] = (fn, variables, x)
+
+    import fp8_quantization_tpu.ops.pallas.autotune as at
+    at.MODE = "never"                      # XLA-only first; pallas separately
+    add("fp32_bf16ops", "bf16", False, False)
+    add("fp8_factored", "bf16", False, True)
+    add("fp8_factored_convbf16", "bf16", True, True)
+    add("fp8_parity_fp32", "parity", False, True)
+
+    # compile + cost analysis
+    stats = {}
+    for name, (fn, variables, x) in variants.items():
+        lowered = fn.lower(variables, x)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        stats[name] = {"flops": ca.get("flops", float("nan")),
+                       "bytes": ca.get("bytes accessed", float("nan"))}
+        variants[name] = (compiled, variables, x)
+
+    # interleaved timing
+    times = {name: [] for name in variants}
+    for name, (fn, variables, x) in variants.items():
+        out = None
+        for _ in range(2):
+            out = fn(variables, x)
+        jax.block_until_ready(out)
+    for _ in range(args.reps):
+        for name, (fn, variables, x) in variants.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = fn(variables, x)
+            jax.block_until_ready(out)
+            times[name].append((time.perf_counter() - t0) / args.iters)
+
+    model_flops = RESNET18_GFLOP * 1e9 * args.batch
+    print(f"{'variant':26s} {'ms':>8s} {'img/s':>9s} {'TF/s':>7s} "
+          f"{'MFU%':>6s} {'XLA GF':>8s} {'XLA GB':>7s}")
+    base_ms = None
+    for name in variants:
+        t = sorted(times[name])[len(times[name]) // 2]
+        if base_ms is None:
+            base_ms = t
+        tfs = model_flops / t / 1e12
+        print(f"{name:26s} {t * 1e3:8.2f} {args.batch / t:9.0f} {tfs:7.1f} "
+              f"{100 * model_flops / t / V5E_BF16_PEAK:6.1f} "
+              f"{stats[name]['flops'] / 1e9:8.1f} "
+              f"{stats[name]['bytes'] / 1e9:7.2f}"
+              + (f"   ({t / base_ms:.3f}x fp32)" if name != "fp32_bf16ops"
+                 else ""))
+
+    if args.trace:
+        for name, (fn, variables, x) in variants.items():
+            with jax.profiler.trace(f"{args.trace}/{name}"):
+                for _ in range(3):
+                    out = fn(variables, x)
+                jax.block_until_ready(out)
+        print(f"traces written to {args.trace}/<variant>")
+
+
+if __name__ == "__main__":
+    main()

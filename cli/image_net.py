@@ -141,12 +141,14 @@ def _setup(kw):
 
     if kw["model_dir"]:
         from fp8_quantization_tpu.models.convert import (
-            convert_mobilenet_v2, convert_resnet, load_torch_state_dict,
-            merge_variables)
+            convert_mobilenet_v2, convert_resnet, convert_vit,
+            load_torch_state_dict, merge_variables)
 
         sd = load_torch_state_dict(kw["model_dir"])
         if arch == "mobilenet_v2_quantized":
             params, stats = convert_mobilenet_v2(sd)
+        elif arch.startswith("vit"):
+            params, stats = convert_vit(sd)
         else:
             stages = (2, 2, 2, 2) if "18" in arch else (3, 4, 6, 3)
             params, stats = convert_resnet(sd, stages, bottleneck="50" in arch)
