@@ -41,6 +41,11 @@ def _quant_options(f):
             ["nearest", "bilinear", "bicubic", "lanczos", "box", "hamming"]),
             default="bilinear"),
         click.option("--seed", type=int, default=10),
+        click.option("--deterministic/--nondeterministic", default=False,
+                     help="seed python/numpy RNGs from --seed and audit-log "
+                          "it (reference click_options.py:47; XLA-on-TPU "
+                          "execution is deterministic by construction, so "
+                          "unlike cudnn there is no perf trade-off)"),
         click.option("--platform", type=str, default=None,
                      help="force jax platform (cpu/tpu)"),
         click.option("--data-parallel", type=int, default=1,
@@ -63,6 +68,13 @@ def _quant_options(f):
             ["current_minmax", "allminmax", "running_minmax", "MSE"]),
             default="allminmax"),
         click.option("--act-momentum", type=float, default=None),
+        click.option("--num-candidates", type=int, default=None,
+                     help="MSE search-grid size (reference "
+                          "click_options.py:381-388; None keeps the "
+                          "reference's 111-point grid)"),
+        click.option("--act-num-candidates", type=int, default=None,
+                     help="act-quant MSE grid size; falls back to "
+                          "--num-candidates"),
         click.option("--quant-setup", type=click.Choice(
             ["all", "FP_logits", "fc4", "fc4_dw8", "LSQ", "LSQ_paper"]),
             default="all"),
@@ -105,6 +117,16 @@ def _setup(kw):
         jax.config.update("jax_platforms", kw["platform"])
     import jax
 
+    if kw.get("deterministic"):
+        import random
+
+        import numpy as _np
+        random.seed(kw["seed"])
+        _np.random.seed(kw["seed"])
+        log.info("deterministic run: python/numpy RNGs seeded with %d "
+                 "(jax PRNG already keyed on --seed; TPU/XLA execution is "
+                 "deterministic by construction)", kw["seed"])
+
     from fp8_quantization_tpu.data.imagenet import make_dataloaders
     from fp8_quantization_tpu.models import QUANT_ARCHITECTURES
     from fp8_quantization_tpu.nn.config import make_layer_config
@@ -116,6 +138,8 @@ def _setup(kw):
         weight_range_method=kw["weight_quant_method"],
         act_range_method=kw["act_quant_method"],
         percentile=kw["percentile"], act_momentum=kw["act_momentum"],
+        num_candidates=kw["num_candidates"],
+        act_num_candidates=kw["act_num_candidates"],
         quantize_input=kw["quantize_input"],
         fp8_maxval=kw["fp8_maxval"], fp8_mantissa_bits=kw["fp8_mantissa_bits"],
         fp8_set_maxval=kw["fp8_set_maxval"],
@@ -195,8 +219,14 @@ def validate_quantized(**kw):
 
     from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
 
-    cal_data = ([b for b in val_data][:kw["num_est_batches"]]
-                if train_data is None else train_data)
+    if train_data is None:
+        # no train split: calibrate on the first few val batches WITHOUT
+        # materializing the whole split (round-1 held O(dataset) in host
+        # memory for a num_est_batches-sized need)
+        from itertools import islice
+        cal_data = list(islice(iter(val_data), kw["num_est_batches"]))
+    else:
+        cal_data = train_data
     if kw["load_type"] == "quantized":
         if not kw["load_checkpoint_dir"]:
             raise click.UsageError(

@@ -48,6 +48,14 @@ class EstimatorSpec:
     kind: RangeEstimators = RangeEstimators.current_minmax
     percentile: Optional[float] = None       # current_minmax only (:57-71)
     momentum: float = 0.9                    # running_minmax only (:104)
+    # MSE search-grid size (--num-candidates).  None -> the reference's
+    # hardcoded 111-point linspace (range_estimators.py:306 ignores its own
+    # num_candidates arg; we honor the flag when it is set explicitly).
+    num_candidates: Optional[int] = None
+
+    @property
+    def grid_size(self) -> int:
+        return self.num_candidates or MSE_NUM_CANDIDATES
 
     def replace(self, **kw) -> "EstimatorSpec":
         return dataclasses.replace(self, **kw)
@@ -83,8 +91,8 @@ def init_state(spec: EstimatorSpec, qspec: QuantizerSpec,
     if spec.kind == RangeEstimators.MSE:
         n_mbits = len(_mbit_list(qspec))
         return {
-            "search_grid": jnp.zeros((MSE_NUM_CANDIDATES, c), jnp.float32),
-            "mses": jnp.zeros((n_mbits, MSE_NUM_CANDIDATES, c), jnp.float32),
+            "search_grid": jnp.zeros((spec.grid_size, c), jnp.float32),
+            "mses": jnp.zeros((n_mbits, spec.grid_size, c), jnp.float32),
             "seen": jnp.asarray(False, jnp.bool_),
         }
     return {}
@@ -109,8 +117,8 @@ def _current_minmax(spec: EstimatorSpec, x_cn: jax.Array, per_channel: bool):
     return _maybe_squeeze(lo, per_channel), _maybe_squeeze(hi, per_channel)
 
 
-def _mse_update(qspec: QuantizerSpec, state: EstState, x_cn: jax.Array,
-                per_channel: bool):
+def _mse_update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
+                x_cn: jax.Array, per_channel: bool):
     """FP8/INT MSE grid search with optional mantissa-bit sweep, vmapped.
 
     Reference: range_estimators.py:285-369 (FP_MSE_Estimator).  The reference's
@@ -127,7 +135,7 @@ def _mse_update(qspec: QuantizerSpec, state: EstState, x_cn: jax.Array,
     # Per-channel search grid from the FIRST batch only (:300-316).
     absmax = jnp.maximum(jnp.abs(jnp.min(x_cn, axis=-1)),
                          jnp.abs(jnp.max(x_cn, axis=-1)))          # (C,)
-    steps = jnp.linspace(0.1, 1.2, MSE_NUM_CANDIDATES)[:, None]     # (111,1)
+    steps = jnp.linspace(0.1, 1.2, spec.grid_size)[:, None]        # (111,1)
     fresh_grid = steps * absmax[None, :]                            # (111,C)
     search_grid = jnp.where(state["seen"], state["search_grid"], fresh_grid)
 
@@ -218,6 +226,6 @@ def update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
         return new, lo, hi, {}
 
     if spec.kind == RangeEstimators.MSE:
-        return _mse_update(qspec, state, x_cn, per_channel)
+        return _mse_update(spec, qspec, state, x_cn, per_channel)
 
     raise ValueError(f"unknown estimator kind {spec.kind}")

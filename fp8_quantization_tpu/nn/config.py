@@ -76,6 +76,8 @@ def make_layer_config(
     act_range_method: str | RangeEstimators = RangeEstimators.running_minmax,
     percentile: Optional[float] = None,
     act_momentum: Optional[float] = None,
+    num_candidates: Optional[int] = None,
+    act_num_candidates: Optional[int] = None,
     quantize_input: bool = False,
     grad_scaling: bool = False,
     # FP8 options (fp8_options, click_options.py:443-474)
@@ -111,12 +113,19 @@ def make_layer_config(
             grad_estimator=grad_estimator)
 
     weight_range = EstimatorSpec(kind=RangeEstimators(weight_range_method),
-                                 percentile=percentile)
+                                 percentile=percentile,
+                                 num_candidates=num_candidates)
     act_kwargs = {}
     if act_momentum is not None:
         act_kwargs["momentum"] = act_momentum
+    # --act-num-candidates falls back to --num-candidates (the reference
+    # wires act_range_options["num_candidates"] from config.quant.num_candidates
+    # even when act_num_candidates is given, click_options.py:487-488; we keep
+    # the flag pair but make the act-specific value actually win).
     act_range = EstimatorSpec(kind=RangeEstimators(act_range_method),
-                              percentile=percentile, **act_kwargs)
+                              percentile=percentile,
+                              num_candidates=act_num_candidates or num_candidates,
+                              **act_kwargs)
 
     return LayerQuantConfig(
         weight_quant=_qspec(qmethod, n_bits, per_channel_weights),
