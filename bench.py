@@ -66,10 +66,11 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x)
     variables = calibrate(model, variables, [x])
 
-    # deployment path: weights pre-baked (per-step weight-quant chain gone),
-    # activations fake-quantized in-line on the bf16 engine
-    from fp8_quantization_tpu.nn.bake import bake_weights
-    variables = bake_weights(model, variables, x[:1])
+    # deployment path: weights pre-baked (per-step weight-quant chain gone)
+    # and quantizer scalar algebra frozen into 'qprep' (elementwise-only
+    # act-quant epilogues); bit-identical to the calibrate-time numerics
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    variables = prepare_for_deployment(model, variables, x[:1])
 
     fp8_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
                                               quant_w=False))

@@ -33,7 +33,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int):
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import resnet18_quantized
-    from fp8_quantization_tpu.nn.bake import bake_weights
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
     from fp8_quantization_tpu.nn.config import make_layer_config
 
     config = make_layer_config(
@@ -51,7 +51,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int):
     if fmt not in _SETUP_CACHE:
         variables = model.init(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
-        _SETUP_CACHE[fmt] = bake_weights(model, variables, x[:1])
+        _SETUP_CACHE[fmt] = prepare_for_deployment(model, variables, x[:1])
     return model, _SETUP_CACHE[fmt], x
 
 

@@ -106,3 +106,40 @@ def bake_weights(model, variables: Dict[str, Any], example_input, *,
     if folded and new_stats:
         out_vars["batch_stats"] = new_stats
     return out_vars
+
+
+def prepare_inference(model, variables: Dict[str, Any], example_input, *,
+                      quant_w: bool = True, quant_a: bool = True
+                      ) -> Dict[str, Any]:
+    """Freeze the fixed-mode quantizers' scalar algebra into a 'qprep'
+    collection (ops/quantizer.fixed_consts).
+
+    Run AFTER calibration (and after bake_weights, passing the same
+    ``quant_w``/``quant_a`` the deployment step will use): each live FP8
+    quantizer derives ~20 scalar ops from its frozen maxval per forward —
+    ~435 unfused f32[] scalar ops at the ENTRY of the round-2 compiled
+    ResNet-18 step.  With 'qprep' present the per-step graph is
+    elementwise-only and bit-identical.  Re-calibrating afterwards leaves the
+    consts stale — re-run this (cheap: one tiny forward).
+    """
+    _, mutated = model.apply(variables, example_input, mode="fixed",
+                             quant_w=quant_w, quant_a=quant_a,
+                             mutable=["qprep"])
+    out = dict(variables)
+    if "qprep" in mutated:
+        out["qprep"] = mutated["qprep"]
+    return out
+
+
+def prepare_for_deployment(model, variables: Dict[str, Any], example_input, *,
+                           bn_eps: float = 1e-5, quant_a: bool = True
+                           ) -> Dict[str, Any]:
+    """bake_weights + prepare_inference: the full PTQ deployment transform.
+
+    Returns variables to be evaluated with ``quant_w=False`` — the weight
+    fake-quant chain is gone (kernels hold grid values, factors in 'baked')
+    and the activation quantizers run the prepared elementwise-only path.
+    """
+    variables = bake_weights(model, variables, example_input, bn_eps=bn_eps)
+    return prepare_inference(model, variables, example_input,
+                             quant_w=False, quant_a=quant_a)

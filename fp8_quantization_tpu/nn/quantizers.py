@@ -90,6 +90,26 @@ class Quantizer(nn.Module):
         if out == "state":
             return x, state
         disc = self._discretizer(mode)
+
+        # Deployment fast path (nn/bake.prepare_inference): in fixed mode the
+        # maxval-derived scalar algebra is frozen into the 'qprep' collection
+        # once, leaving an elementwise-only per-step graph.  The prepare pass
+        # itself runs with mutable=['qprep'] and sows the consts here.
+        if mode == "fixed" and self.spec.is_fp8 and not self.is_initializing():
+            if self.is_mutable_collection("qprep"):
+                self.put_variable("qprep", "c",
+                                  q.fixed_consts(self.spec, state))
+            elif self.has_variable("qprep", "c"):
+                consts = jax.tree.map(jax.lax.stop_gradient,
+                                      self.get_variable("qprep", "c"))
+                if out == "factored":
+                    return q.apply_prepared(
+                        self.spec, consts, x, channel_axis=self.channel_axis,
+                        discretizer=disc, factored=True)
+                return q.apply_prepared(
+                    self.spec, consts, x, channel_axis=self.channel_axis,
+                    discretizer=disc)
+
         if out == "factored":
             return q.apply_factored(self.spec, state, x,
                                     channel_axis=self.channel_axis,

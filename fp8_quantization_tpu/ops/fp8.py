@@ -182,6 +182,60 @@ def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
     return m * scales
 
 
+def fp8_fixed_consts(maxval: jax.Array, mantissa_bits: jax.Array,
+                     n_bits: int = 8, sign_bits=1) -> dict:
+    """Precompute every maxval/M-derived scalar the fixed-mode quantizer needs.
+
+    In ``mode='fixed'`` the quantizer state is frozen, yet
+    :func:`quantize_to_fp8` re-derives ~20 scalar ops (log2/exp2/floor/pow)
+    from ``maxval`` on every forward — across ~21 activation quantizers that
+    left ~435 unfused f32[] scalar ops at the ENTRY of the compiled ResNet-18
+    step (round-2 HLO forensics).  Deployment freezes them into buffers once
+    (see nn/bake.prepare_inference); the per-step graph then runs
+    :func:`fp8_quantize_prepared`, which is elementwise-only.
+
+    Numerics: bit-identical to quantize_to_fp8 — same formulas, evaluated
+    once instead of per step.
+    """
+    sign_bits_f = jnp.asarray(sign_bits, jnp.float32)
+    M = jnp.clip(jnp.round(mantissa_bits), 1.0, float(n_bits) - sign_bits_f)
+    E = float(n_bits) - sign_bits_f - M
+    two_pow_E = 2.0 ** E
+    grid_top = 2.0 - 2.0 ** (-M)
+    bias = two_pow_E - jnp.log2(maxval) + jnp.log2(grid_top) - 1.0
+    bias_int = jnp.floor(bias)
+    return {
+        "minval": jnp.where(sign_bits_f > 0, -maxval, jnp.zeros_like(maxval)),
+        "maxval": jnp.asarray(maxval, jnp.float32),
+        "bias_int": bias_int,
+        "bias_frac_pow2": jnp.exp2(bias - bias_int),
+        "g": -M - two_pow_E + 1.0,          # integer-valued exponent offset
+        "factor": maxval / grid_top,        # normalized-grid channel factor
+    }
+
+
+def fp8_quantize_prepared(x: jax.Array, c: dict, *, normalized: bool = False,
+                          discretizer=round_ste) -> jax.Array:
+    """Fixed-mode FP8 fake-quant from precomputed consts — elementwise only.
+
+    Bit-exact vs :func:`quantize_to_fp8` on the same state: the per-element
+    pipeline (clip -> exponent-extract -> round -> rescale) is unchanged; the
+    scalar derivations were hoisted into :func:`fp8_fixed_consts`.  Division
+    by ``pow2`` becomes an exact multiply by ``2^-p``; the single float
+    rounding (the divide by ``factor``-scaled scales) lands in the same place.
+    """
+    xc = jnp.minimum(jnp.maximum(x, c["minval"]), c["maxval"])
+    y = jnp.abs(xc) * c["bias_frac_pow2"]
+    log_scales = jnp.clip(
+        jax.lax.stop_gradient(_floor_log2_exact(y) + c["bias_int"]), 1.0, None)
+    p = jax.lax.stop_gradient(log_scales + c["g"])
+    pow2 = _exp2_int_exact(p)
+    m = discretizer(xc * _exp2_int_exact(-p) / c["factor"])
+    if normalized:
+        return m * pow2
+    return m * (pow2 * c["factor"])
+
+
 def fp8_set_quant_range(x_min: jax.Array, x_max: jax.Array, *,
                         allow_unsigned: bool = False):
     """Derive (maxval, sign_bits) from an estimated range.

@@ -189,6 +189,36 @@ def apply_factored(spec: QuantizerSpec, state: QuantState, x: jax.Array, *,
     raise ValueError(f"unknown method {spec.method}")
 
 
+def fixed_consts(spec: QuantizerSpec, state: QuantState) -> QuantState | None:
+    """Freeze-time scalar precomputation for the fixed-mode fast path.
+
+    FP8 only: the uniform quantizers derive ~3 scalars per call, but the FP8
+    quantizer derives ~20 (bias/exponent algebra) — per-forward that left
+    hundreds of unfused scalar ops in the compiled step (see
+    fp8_ops.fp8_fixed_consts).  Returns None when there is nothing worth
+    preparing.
+    """
+    if spec.is_fp8:
+        return fp8_ops.fp8_fixed_consts(
+            state["maxval"], state["mantissa_bits"], n_bits=spec.n_bits,
+            sign_bits=state["sign_bits"])
+    return None
+
+
+def apply_prepared(spec: QuantizerSpec, consts: QuantState, x: jax.Array, *,
+                   channel_axis: int = -1, discretizer=round_ste,
+                   factored: bool = False):
+    """Fixed-mode fake-quant from prepared consts (bit-exact vs apply/
+    apply_factored on the same state; elementwise-only graph)."""
+    assert spec.is_fp8, "prepared path is FP8-only"
+    c = {k: _broadcast(v, x.ndim, channel_axis) for k, v in consts.items()}
+    if factored:
+        x_norm = fp8_ops.fp8_quantize_prepared(
+            x, c, normalized=True, discretizer=discretizer)
+        return x_norm, c["factor"]
+    return fp8_ops.fp8_quantize_prepared(x, c, discretizer=discretizer)
+
+
 def set_quant_range(spec: QuantizerSpec, state: QuantState, x_min, x_max) -> QuantState:
     """New state with ranges set from (x_min, x_max) (1-D per-channel or scalar).
 

@@ -18,19 +18,33 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
 def round_ste(x: jax.Array) -> jax.Array:
     """Round-to-nearest-even with a straight-through gradient.
 
-    Reference: rounding_utils.py:12-19 (RoundStraightThrough).
+    Reference: rounding_utils.py:12-19 (RoundStraightThrough).  Implemented
+    as a ``custom_vjp`` whose primal is a bare ``round`` — the algebraic form
+    ``x + stop_grad(round(x) - x)`` left an unfusable 3-op chain (round,
+    subtract, add, each a full HBM pass over the activation tensor) in every
+    inference graph; the round-1 profile showed 29 standalone
+    subtract+round pairs at the ENTRY level of the ResNet-18 step.
     """
-    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+    return jnp.round(x)
 
 
+round_ste.defvjp(lambda x: (jnp.round(x), None), lambda _, g: (g,))
+
+
+@jax.custom_vjp
 def floor_ste(x: jax.Array) -> jax.Array:
     """Floor with straight-through gradient."""
-    return x + jax.lax.stop_gradient(jnp.floor(x) - x)
+    return jnp.floor(x)
 
 
+floor_ste.defvjp(lambda x: (jnp.floor(x), None), lambda _, g: (g,))
+
+
+@jax.custom_vjp
 def stochastic_round_ste(x: jax.Array, key: jax.Array) -> jax.Array:
     """floor(x + U[0,1)) with a straight-through gradient.
 
@@ -38,17 +52,27 @@ def stochastic_round_ste(x: jax.Array, key: jax.Array) -> jax.Array:
     samples torch.rand_like; here the PRNG key is explicit.
     """
     noise = jax.random.uniform(key, x.shape, x.dtype)
-    return x + jax.lax.stop_gradient(jnp.floor(x + noise) - x)
+    return jnp.floor(x + noise)
 
 
+stochastic_round_ste.defvjp(
+    lambda x, key: (jnp.floor(x + jax.random.uniform(key, x.shape, x.dtype)),
+                    None),
+    lambda _, g: (g, None))
+
+
+@jax.custom_vjp
 def scale_gradient(x: jax.Array, scale) -> jax.Array:
     """Identity forward; gradient multiplied by ``scale`` on backward.
 
     Reference: rounding_utils.py:34-42 (ScaleGradient).  Used for LSQ
     gradient scaling of delta/zero_point.
     """
-    scale = jax.lax.stop_gradient(scale)
-    return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
+    return x
+
+
+scale_gradient.defvjp(lambda x, scale: (x, scale),
+                      lambda scale, g: (g * scale, None))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
