@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Throughput benchmark: FP8 PTQ ResNet-18 inference, images/sec/chip.
 
-Uses the 'bf16' engine: fake-quantized operands decomposed onto the
-normalized grid (exact in bfloat16) so the MXU runs at bf16 rate with zero
-added quantization error vs the fp32 parity engine (see
-ops/quantizer.apply_factored and tests/test_engines.py).
+Deployment path: calibrated model passed through
+``nn.bake.prepare_for_deployment`` — weights pre-baked onto the normalized
+bf16 grid (per-step weight-quant chain gone), quantizer scalar algebra
+frozen into 'qprep', activations exchanged as Factored(norm bf16, factor)
+pairs between layers (nn/factored.py).  Bit-identical numerics to the
+calibrate-time fixed-mode forward (tests/test_prepare.py,
+tests/test_factored.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``vs_baseline`` is the ratio of FP8 fake-quantized throughput to the FP32
 (unquantized) forward of the same model on the same chip — the cost of
-simulated quantization, which the fused engine drives toward (and past) 1.0.
+simulated quantization, which the fused deployment path drives toward 1.0.
 The reference publishes no throughput numbers (BASELINE.md), so FP32-on-chip
-is the measurable baseline.
+is the measurable baseline.  Extra keys (VERDICT r1 item 4): achieved
+TFLOP/s and MFU vs the v5e's ~197 TF/s bf16 peak.
+
+Inputs are generated ON DEVICE (jax.random) — the axon dev tunnel uploads
+at ~2 MB/s, which previously capped the bench at batch 128; batch 512 keeps
+the chip fed and reflects deployment batch sizes.
 """
 
 import json
@@ -23,10 +31,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fp8tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
-import numpy as np
+
+V5E_BF16_PEAK = 197e12
+RESNET18_GFLOP = 1.824   # fwd pass, 224x224, MAC=2 flops
 
 
-def _bench_pair(fn_a, fn_b, args, iters=20, warmup=3, repeats=3):
+def _bench_pair(fn_a, fn_b, args, iters=10, warmup=3, repeats=4):
     """Median times of two functions with INTERLEAVED windows (A B A B ...).
 
     The dev-tunnel TPU drifts up to ~2x across minutes; timing the two
@@ -51,25 +61,22 @@ def _bench_pair(fn_a, fn_b, args, iters=20, warmup=3, repeats=3):
 def main():
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import resnet18_quantized
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
     from fp8_quantization_tpu.nn.config import make_layer_config
 
-    batch = 128  # larger batches reach ~16.4k img/s (RESULTS.md) but cold
-    # compiles + the ~2MB/s tunnel upload would risk the driver timeout
+    batch = 512
     config = make_layer_config(
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
-        act_range_method="allminmax", engine="bf16")
+        act_range_method="allminmax", engine="bf16",
+        deploy_cast_quant=True)   # bit-exact hardware-cast epilogues
+        # (ops/fp8.fp8_quantize_cast; pinned by tests/test_cast_quant.py)
     model = resnet18_quantized(config, num_classes=1000)
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    variables = calibrate(model, variables, [x])
-
-    # deployment path: weights pre-baked (per-step weight-quant chain gone)
-    # and quantizer scalar algebra frozen into 'qprep' (elementwise-only
-    # act-quant epilogues); bit-identical to the calibrate-time numerics
-    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:8])
+    variables = calibrate(model, variables, [x[:128]])
     variables = prepare_for_deployment(model, variables, x[:1])
 
     fp8_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
@@ -80,11 +87,16 @@ def main():
     t_fp8, t_fp32 = _bench_pair(fp8_fn, fp32_fn, (variables, x))
 
     ips = batch / t_fp8
+    model_flops = RESNET18_GFLOP * 1e9 * batch
     print(json.dumps({
         "metric": "resnet18_fp8_ptq_throughput_per_chip",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round((batch / t_fp8) / (batch / t_fp32), 4),
+        "tflops": round(model_flops / t_fp8 / 1e12, 1),
+        "mfu": round(model_flops / t_fp8 / V5E_BF16_PEAK, 4),
+        "fp32_img_per_s": round(batch / t_fp32, 1),
+        "batch": batch,
     }))
 
 

@@ -28,7 +28,7 @@ RESNET18_GFLOP = 1.824   # fwd, 224x224, counting MAC=2 flops
 _SETUP_CACHE = {}
 
 
-def build(engine: str, conv_out_bf16: bool, batch: int):
+def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
@@ -40,14 +40,15 @@ def build(engine: str, conv_out_bf16: bool, batch: int):
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
         act_range_method="allminmax", engine=engine,
-        conv_out_bf16=conv_out_bf16)
+        conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant)
     model = resnet18_quantized(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
         rng = np.random.RandomState(0)
         _SETUP_CACHE["x"] = jnp.asarray(
             rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
     x = _SETUP_CACHE["x"]
-    fmt = "parity" if engine == "parity" else "factored"
+    fmt = ("parity" if engine == "parity" else "factored") + (
+        "+cast" if cast_quant else "")
     if fmt not in _SETUP_CACHE:
         variables = model.init(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
@@ -66,8 +67,8 @@ def main():
 
     variants = {}
 
-    def add(name, engine, conv_bf16, quant_a):
-        model, variables, x = build(engine, conv_bf16, args.batch)
+    def add(name, engine, conv_bf16, quant_a, cast_quant=False):
+        model, variables, x = build(engine, conv_bf16, args.batch, cast_quant)
         fn = jax.jit(lambda v, xx: model.apply(
             v, xx, mode="fixed", quant_w=False, quant_a=quant_a))
         variants[name] = (fn, variables, x)
@@ -76,8 +77,8 @@ def main():
     at.MODE = "never"                      # XLA-only first; pallas separately
     add("fp32_bf16ops", "bf16", False, False)
     add("fp8_factored", "bf16", False, True)
-    add("fp8_factored_convbf16", "bf16", True, True)
-    add("fp8_parity_fp32", "parity", False, True)
+    add("fp8_cast", "bf16", False, True, cast_quant=True)
+    add("fp8_cast_convbf16", "bf16", True, True, cast_quant=True)
 
     # compile + cost analysis
     stats = {}

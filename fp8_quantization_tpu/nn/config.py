@@ -92,6 +92,7 @@ def make_layer_config(
     engine: str = "parity",
     grad_estimator: str = "ste",
     conv_out_bf16: bool = False,
+    deploy_cast_quant: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -110,6 +111,7 @@ def make_layer_config(
             learn_mantissa_bits=fp8_learn_mantissa_bits,
             mse_include_mantissa_bits=fp8_mse_include_mantissa_bits,
             allow_unsigned=fp8_allow_unsigned,
+            cast_fastpath=deploy_cast_quant,
             grad_estimator=grad_estimator)
 
     weight_range = EstimatorSpec(kind=RangeEstimators(weight_range_method),

@@ -123,6 +123,66 @@ class QuantizedLayerBase(nn.Module):
             return q_mod(y, mode=mode)
         return y
 
+    def _affine_epilogue(self, y, w_factor, x_factor, folded_shift, features,
+                         mode, train_bn, bn: bool, bn_eps: float,
+                         bn_momentum: float, use_bias: bool):
+        """Post-matmul channel algebra: factors, then BN / folded shift / bias.
+
+        In ``mode='fixed'`` inference the chain
+        ``((y*w_factor)*x_factor)*bn_inv + bn_shift`` is FOLDED into a single
+        ``y*S + B`` — the per-channel products are (C,)-sized (negligible)
+        while the unfolded chain costs 3 VPU passes per element.  Bit-exact
+        for the parity engine (factors are None there and `_batch_norm`'s
+        eval expression is exactly ``y*inv + (beta - mean*inv)``); for the
+        factored engines the reassociation differs by ~1 ulp f32, far below
+        the bf16 matmul rounding those engines already carry.  Training /
+        calibration modes keep the original op order (BN batch stats must see
+        the full-scale tensor).
+        """
+        fold = mode == "fixed" and not train_bn
+        if not fold:
+            if w_factor is not None:
+                y = y * w_factor
+            if x_factor is not None:
+                y = y * x_factor
+            if folded_shift is not None:
+                return y + folded_shift
+            if bn:
+                return _batch_norm(self, y, features, bn_eps, bn_momentum,
+                                   train_bn)
+            if use_bias:
+                return y + self.param("bias", nn.initializers.zeros,
+                                      (features,), jnp.float32)
+            return y
+
+        scale, shift = None, None
+        if w_factor is not None:
+            scale = w_factor
+        if x_factor is not None:
+            scale = x_factor if scale is None else scale * x_factor
+        if folded_shift is not None:
+            shift = folded_shift
+        elif bn:
+            gamma = self.param("gamma", nn.initializers.ones,
+                               (features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (features,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(features, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(features, jnp.float32))
+            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+            shift = beta - ra_mean.value * inv
+            scale = inv if scale is None else scale * inv
+        elif use_bias:
+            shift = self.param("bias", nn.initializers.zeros,
+                               (features,), jnp.float32)
+        if scale is not None:
+            y = y * scale
+        if shift is not None:
+            y = y + shift
+        return y
+
     # ---- engine paths -----------------------------------------------------
 
     def _engine_operands(self, x, kernel, mode, quant_w, num_channels):
@@ -447,25 +507,11 @@ class QuantConv(QuantizedLayerBase):
             feature_group_count=self.feature_group_count,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self._conv_out_dtype(mode, quant_a, out))
-        y = y.astype(jnp.float32)
-        if w_factor is not None:
-            y = y * w_factor          # (1,1,1,O) or scalar, see apply_factored
-        if x_factor is not None:
-            y = y * x_factor          # per-tensor input factor
-
-        if folded_shift is not None:
-            y = y + folded_shift
-        elif self.bn:
-            y = self._bn(y, train_bn)
-        elif self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
-
+        y = self._affine_epilogue(
+            y.astype(jnp.float32), w_factor, x_factor, folded_shift,
+            self.features, mode, train_bn, self.bn, self.bn_eps,
+            self.bn_momentum, self.use_bias)
         return self._quant_out(y, mode, quant_a, out=out)
-
-    def _bn(self, y, train_bn: bool):
-        return _batch_norm(self, y, self.features, self.bn_eps,
-                           self.bn_momentum, train_bn)
 
 
 class QuantConv1d(QuantizedLayerBase):
@@ -518,19 +564,9 @@ class QuantConv1d(QuantizedLayerBase):
             dimension_numbers=("NWC", "WIO", "NWC"),
             preferred_element_type=self._conv_out_dtype(
                 mode, quant_a, out)).astype(jnp.float32)
-        if w_factor is not None:
-            y = y * w_factor
-        if x_factor is not None:
-            y = y * x_factor
-
-        if folded_shift is not None:
-            y = y + folded_shift
-        elif self.bn:
-            y = _batch_norm(self, y, self.features, self.bn_eps,
-                            self.bn_momentum, train_bn)
-        elif self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
+        y = self._affine_epilogue(
+            y, w_factor, x_factor, folded_shift, self.features, mode,
+            train_bn, self.bn, self.bn_eps, self.bn_momentum, self.use_bias)
         return self._quant_out(y, mode, quant_a, out=out)
 
 
@@ -571,13 +607,9 @@ class QuantConvTranspose(QuantizedLayerBase):
             xm, wm, strides=self.strides, padding=self.padding,
             preferred_element_type=self._conv_out_dtype(
                 mode, quant_a, out)).astype(jnp.float32)
-        if w_factor is not None:
-            y = y * w_factor
-        if x_factor is not None:
-            y = y * x_factor
-        if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
+        y = self._affine_epilogue(
+            y, w_factor, x_factor, None, self.features, mode, train_bn,
+            False, 1e-5, 0.1, self.use_bias)
         return self._quant_out(y, mode, quant_a, out=out)
 
 
@@ -631,20 +663,9 @@ class QuantLinear(QuantizedLayerBase):
                                                  self.features)
         y = jnp.dot(xm, wm, preferred_element_type=self._conv_out_dtype(
             mode, quant_a, out)).astype(jnp.float32)
-        if w_factor is not None:
-            y = y * w_factor
-        if x_factor is not None:
-            y = y * x_factor
-
-        if folded_shift is not None:
-            y = y + folded_shift
-        elif self.bn:
-            y = _batch_norm(self, y, self.features, self.bn_eps,
-                            self.bn_momentum, train_bn)
-        elif self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
-
+        y = self._affine_epilogue(
+            y, w_factor, x_factor, folded_shift, self.features, mode,
+            train_bn, self.bn, self.bn_eps, self.bn_momentum, self.use_bias)
         return self._quant_out(y, mode, quant_a, out=out)
 
 

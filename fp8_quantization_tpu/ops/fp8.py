@@ -182,6 +182,108 @@ def quantize_to_fp8(x: jax.Array, maxval: jax.Array, mantissa_bits: jax.Array,
     return m * scales
 
 
+_IEEE_F8_DTYPES = {2: "float8_e5m2", 3: "float8_e4m3", 4: "float8_e3m4"}
+
+
+def fp8_cast_dtype(mantissa_bits: int):
+    """IEEE-style 8-bit float dtype with M mantissa bits, or None.
+
+    Only the IEEE variants (inf/nan at the top exponent code) have the same
+    binade *structure* as the paper's grid; the 'fn' variants repurpose the
+    top binade and would misalign the grid near maxval.
+    """
+    name = _IEEE_F8_DTYPES.get(int(mantissa_bits))
+    return getattr(jnp, name) if name and hasattr(jnp, name) else None
+
+
+def fp8_cast_consts(maxval: jax.Array, mantissa_bits, n_bits: int = 8,
+                    sign_bits=1) -> dict | None:
+    """Consts for the hardware-cast deployment fast path, or None if ineligible.
+
+    The fast path evaluates the fixed-mode FP8 fake-quant in the *scaled*
+    domain ``y = x / scale`` (``scale = maxval / finfo(f8).max``) as
+
+        qc = cast_f32(cast_f8(clip(y, lo, hi)))       # one saturating cast
+        qb = (y + magic) - magic                      # fixed-step RNE round
+        q  = where(|y| < smallest_normal, qb, qc)
+
+    — ~10 VPU ops/element instead of the ~26 of the exponent-bitcast
+    normalized pipeline (fp8_quantize_prepared), because the XLA f32->f8
+    convert performs the per-binade mantissa rounding in one vectorized op.
+
+    BIT-EXACT vs the reference grid (fp8_quantizer.py:91-133 numerics), via
+    three load-bearing details:
+      * The DIVISION by ``scale`` (never a reciprocal multiply): ``scale``
+        is ``factor / 2^k`` with ``factor`` the exact pipeline's divisor, so
+        both quotients share a mantissa and round-half-to-even breaks grid-
+        midpoint ties identically (a reciprocal multiply flips ~2% of
+        values by one step).
+      * The IEEE f8 dtype covers every binade except the region below its
+        smallest normal (its top exponent code is spent on inf/nan, so it
+        has one fewer binade and a 2x-coarser subnormal step than the
+        paper's grid).
+      * Below ``smallest_normal`` the paper's grid is UNIFORM with step
+        ``h = smallest_normal * 2^-(M+1)`` (its last binade + subnormals
+        share one step), so the classic magic-constant rounding
+        ``(y + 1.5*2^23*h) - 1.5*2^23*h`` reproduces it exactly, RNE ties
+        included.
+    tests/test_cast_quant.py pins op-level and model-level equality.  Opt in
+    via QuantizerSpec(cast_fastpath=True) / make_layer_config(
+    deploy_cast_quant=True); the exact pipeline remains the default.
+
+    Eligibility (checked on CONCRETE values — call eagerly, as
+    nn/bake.prepare_inference does): n_bits == 8, signed, M in {2, 3, 4},
+    and a jnp IEEE f8 dtype available.  Returns None under tracing.
+    """
+    if n_bits != 8:
+        return None
+    try:
+        sb = int(jax.device_get(jnp.asarray(sign_bits)))
+        mb = int(round(float(jax.device_get(jnp.asarray(mantissa_bits)))))
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        return None
+    if sb != 1:
+        return None
+    dtype = fp8_cast_dtype(mb)
+    if dtype is None:
+        return None
+    fi = jnp.finfo(dtype)
+    f8_max = float(fi.max)
+    sn = float(fi.smallest_normal)
+    h = sn * 2.0 ** -(mb + 1)            # uniform step of the bottom region
+    maxval = jnp.asarray(maxval, jnp.float32)
+    return {
+        "cast_probe": jnp.zeros((), dtype),      # carries the static dtype
+        "cast_scale": maxval / f8_max,           # == the factored 'factor'
+        "cast_lo": jnp.asarray(-f8_max, jnp.float32),
+        "cast_hi": jnp.asarray(f8_max, jnp.float32),
+        "cast_sn": jnp.asarray(sn, jnp.float32),
+        "cast_magic": jnp.asarray(1.5 * 2.0 ** 23 * h, jnp.float32),
+    }
+
+
+def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False):
+    """Fixed-mode FP8 fake-quant via one saturating hardware cast + a
+    magic-constant subnormal fixup (bit-exact vs the reference grid).
+
+    See :func:`fp8_cast_consts` for the numerics contract.  ``normalized``
+    returns the scaled-domain value ``q = fake_quant(x) / cast_scale`` — a
+    <= (M+1)-significand-bit value, exact in bfloat16 — with
+    ``factor = cast_scale``; the full-scale value is ``norm * factor``.
+    (Below ``smallest_normal`` the paper's grid is finer than the IEEE f8
+    grid, so ``norm`` is NOT generally representable in the f8 dtype itself;
+    it is always exact in bf16.)
+    """
+    dtype = c["cast_probe"].dtype
+    y = jnp.clip(x / c["cast_scale"], c["cast_lo"], c["cast_hi"])
+    qc = y.astype(dtype).astype(jnp.float32)
+    qb = (y + c["cast_magic"]) - c["cast_magic"]
+    q = jnp.where(jnp.abs(y) < c["cast_sn"], qb, qc)
+    if normalized:
+        return q.astype(jnp.bfloat16)
+    return q * c["cast_scale"]
+
+
 def fp8_fixed_consts(maxval: jax.Array, mantissa_bits: jax.Array,
                      n_bits: int = 8, sign_bits=1) -> dict:
     """Precompute every maxval/M-derived scalar the fixed-mode quantizer needs.

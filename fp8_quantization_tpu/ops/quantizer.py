@@ -64,6 +64,11 @@ class QuantizerSpec:
     learn_mantissa_bits: bool = False
     mse_include_mantissa_bits: bool = True
     allow_unsigned: bool = False
+    # Deployment fast path: evaluate the fixed-mode FP8 fake-quant as one
+    # saturating hardware cast to an IEEE f8 dtype (ops/fp8.fp8_quantize_cast)
+    # — ~3x fewer VPU ops per element; numerics identical except the lowest
+    # binade (bound pinned in tests/test_cast_quant.py).  Opt-in.
+    cast_fastpath: bool = False
     # QAT gradient estimator for the rounding op (rounding_utils.py:158-162):
     # "ste" | "stoch_round" | "ewgs" | "stacked_sigmoid"
     grad_estimator: str = "ste"
@@ -199,9 +204,16 @@ def fixed_consts(spec: QuantizerSpec, state: QuantState) -> QuantState | None:
     preparing.
     """
     if spec.is_fp8:
-        return fp8_ops.fp8_fixed_consts(
+        consts = fp8_ops.fp8_fixed_consts(
             state["maxval"], state["mantissa_bits"], n_bits=spec.n_bits,
             sign_bits=state["sign_bits"])
+        if spec.cast_fastpath:
+            cast = fp8_ops.fp8_cast_consts(
+                state["maxval"], state["mantissa_bits"], n_bits=spec.n_bits,
+                sign_bits=state["sign_bits"])
+            if cast is not None:
+                consts.update(cast)
+        return consts
     return None
 
 
@@ -212,6 +224,11 @@ def apply_prepared(spec: QuantizerSpec, consts: QuantState, x: jax.Array, *,
     apply_factored on the same state; elementwise-only graph)."""
     assert spec.is_fp8, "prepared path is FP8-only"
     c = {k: _broadcast(v, x.ndim, channel_axis) for k, v in consts.items()}
+    if spec.cast_fastpath and "cast_probe" in consts:
+        if factored:
+            return (fp8_ops.fp8_quantize_cast(x, c, normalized=True),
+                    c["cast_scale"])
+        return fp8_ops.fp8_quantize_cast(x, c)
     if factored:
         x_norm = fp8_ops.fp8_quantize_prepared(
             x, c, normalized=True, discretizer=discretizer)
