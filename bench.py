@@ -5,8 +5,14 @@ Deployment path: calibrated model passed through
 ``nn.bake.prepare_for_deployment`` — weights pre-baked onto the normalized
 bf16 grid (per-step weight-quant chain gone), quantizer scalar algebra
 frozen into 'qprep', activations exchanged as Factored(norm bf16, factor)
-pairs between layers (nn/factored.py).  Bit-identical numerics to the
-calibrate-time fixed-mode forward (tests/test_prepare.py,
+pairs between layers (nn/factored.py), fake-quant evaluated by the
+hardware-cast fast path (ops/fp8.fp8_quantize_cast — bit-exact vs the
+reference grid, tests/test_cast_quant.py).  One knowing numerics choice:
+``conv_out_bf16=True`` stores conv outputs in bf16 inside the fused quant
+epilogue (a ~2^-9 relative rounding, 16x below the FP8 quantizer's own
+2^-5 step; accuracy deltas pinned by tests/test_factored.py and
+tests/test_ptq_accuracy_delta.py) — set it False for forwards bit-identical
+to the calibrate-time fixed-mode path (tests/test_prepare.py,
 tests/test_factored.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
@@ -61,7 +67,7 @@ def _bench_pair(fn_a, fn_b, args, iters=10, warmup=3, repeats=4):
 def main():
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import resnet18_quantized
-    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
     from fp8_quantization_tpu.nn.config import make_layer_config
 
     batch = 512
@@ -69,15 +75,32 @@ def main():
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
         act_range_method="allminmax", engine="bf16",
-        deploy_cast_quant=True)   # bit-exact hardware-cast epilogues
+        deploy_cast_quant=True,   # bit-exact hardware-cast epilogues
         # (ops/fp8.fp8_quantize_cast; pinned by tests/test_cast_quant.py)
+        conv_out_bf16=True)       # bf16 conv store into the fused quant
+        # epilogue: 6.2 vs 11.0 GB/step at batch 512 (bench_profile)
     model = resnet18_quantized(config, num_classes=1000)
+
+    import sys
+
+    t_start = time.perf_counter()
+
+    def mark(msg):
+        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:8])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1, :64, :64, :])
+    mark("init done")
     variables = calibrate(model, variables, [x[:128]])
-    variables = prepare_for_deployment(model, variables, x[:1])
+    mark("calibration done")
+    # prepare runs EAGERLY (cast-const eligibility needs concrete values);
+    # eager per-op dispatch through the dev tunnel is LATENCY-bound, so the
+    # transform runs on the host CPU backend and ships the prepared
+    # variables to the device once (~50 MB).
+    variables = prepare_for_deployment_host(model, variables)
+    mark("deployment prepare done (host-side)")
 
     fp8_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
                                               quant_w=False))

@@ -22,18 +22,22 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_BF16_PEAK = 197e12   # TF/s per chip
-RESNET18_GFLOP = 1.824   # fwd, 224x224, counting MAC=2 flops
 
 
 _SETUP_CACHE = {}
 
 
-def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False):
+MODEL_GFLOP = {"resnet18": 1.824, "mobilenet_v2": 0.628}   # fwd, 224px, MAC=2
+
+
+def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
+          arch: str = "resnet18"):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
-    from fp8_quantization_tpu.models import resnet18_quantized
-    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    from fp8_quantization_tpu.models import (mobilenetv2_quantized,
+                                             resnet18_quantized)
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
     from fp8_quantization_tpu.nn.config import make_layer_config
 
     config = make_layer_config(
@@ -41,7 +45,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False):
         fp8_set_maxval=True, weight_range_method="current_minmax",
         act_range_method="allminmax", engine=engine,
         conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant)
-    model = resnet18_quantized(config, num_classes=1000)
+    model = (mobilenetv2_quantized if arch == "mobilenet_v2"
+             else resnet18_quantized)(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
         rng = np.random.RandomState(0)
         _SETUP_CACHE["x"] = jnp.asarray(
@@ -52,7 +57,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False):
     if fmt not in _SETUP_CACHE:
         variables = model.init(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
-        _SETUP_CACHE[fmt] = prepare_for_deployment(model, variables, x[:1])
+        # eager transform -> run on the host backend (latency over the tunnel)
+        _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)
     return model, _SETUP_CACHE[fmt], x
 
 
@@ -63,12 +69,18 @@ def main():
                     help="capture a jax.profiler trace of each variant here")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--arch", default="resnet18",
+                    choices=list(MODEL_GFLOP))
+    ap.add_argument("--pallas", action="store_true",
+                    help="add an engine=pallas variant (measured autotune "
+                         "gating) instead of forcing XLA-only")
     args = ap.parse_args()
 
     variants = {}
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False):
-        model, variables, x = build(engine, conv_bf16, args.batch, cast_quant)
+        model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
+                                    args.arch)
         fn = jax.jit(lambda v, xx: model.apply(
             v, xx, mode="fixed", quant_w=False, quant_a=quant_a))
         variants[name] = (fn, variables, x)
@@ -79,6 +91,9 @@ def main():
     add("fp8_factored", "bf16", False, True)
     add("fp8_cast", "bf16", False, True, cast_quant=True)
     add("fp8_cast_convbf16", "bf16", True, True, cast_quant=True)
+    if args.pallas:
+        at.MODE = "auto"                   # measured per-shape gating
+        add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)
 
     # compile + cost analysis
     stats = {}
@@ -107,7 +122,7 @@ def main():
             jax.block_until_ready(out)
             times[name].append((time.perf_counter() - t0) / args.iters)
 
-    model_flops = RESNET18_GFLOP * 1e9 * args.batch
+    model_flops = MODEL_GFLOP[args.arch] * 1e9 * args.batch
     print(f"{'variant':26s} {'ms':>8s} {'img/s':>9s} {'TF/s':>7s} "
           f"{'MFU%':>6s} {'XLA GF':>8s} {'XLA GB':>7s}")
     base_ms = None

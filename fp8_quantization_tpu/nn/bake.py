@@ -143,3 +143,33 @@ def prepare_for_deployment(model, variables: Dict[str, Any], example_input, *,
     variables = bake_weights(model, variables, example_input, bn_eps=bn_eps)
     return prepare_inference(model, variables, example_input,
                              quant_w=False, quant_a=quant_a)
+
+
+def prepare_for_deployment_host(model, variables: Dict[str, Any],
+                                example_shape=(1, 64, 64, 3), *,
+                                bn_eps: float = 1e-5, quant_a: bool = True
+                                ) -> Dict[str, Any]:
+    """prepare_for_deployment executed on the host CPU backend.
+
+    The transform runs EAGERLY (the cast-const eligibility check,
+    ops/fp8.fp8_cast_consts, needs concrete values), and eager per-op
+    dispatch to a remote device is latency-bound — minutes over a dev
+    tunnel.  This variant pulls the variables to the host, runs the two tiny
+    forwards on the CPU backend, and returns variables placed back on the
+    original device (one bulk transfer).  ``example_shape`` only needs to be
+    deep enough for the model's spatial strides; the transform itself reads
+    only quantizer/BN state.
+    """
+    import numpy as np
+
+    devices = {a.device for a in jax.tree.leaves(variables)
+               if hasattr(a, "device")}
+    target = devices.pop() if len(devices) == 1 else jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    host_vars = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
+                             jax.device_get(variables))
+    with jax.default_device(cpu):
+        host_vars = prepare_for_deployment(
+            model, host_vars, np.zeros(example_shape, np.float32),
+            bn_eps=bn_eps, quant_a=quant_a)
+    return jax.tree.map(lambda a: jax.device_put(a, target), host_vars)

@@ -124,8 +124,12 @@ def _measure(m: int, k: int, n: int) -> bool:
         return best
 
     try:
-        t_fused = _time(fused)
-        t_xla = _time(composed)
+        # pallas_wins is called at TRACE time (static shapes) — under the
+        # ambient trace even concrete-input ops would produce tracers, so
+        # force compile-time evaluation for the measurement.
+        with jax.ensure_compile_time_eval():
+            t_fused = _time(fused)
+            t_xla = _time(composed)
     except Exception as exc:  # measurement must never take the model down
         logger.warning("pallas autotune (%d,%d,%d) failed: %s", m, k, n, exc)
         return _heuristic(m, k, n)

@@ -74,3 +74,20 @@ def test_init_does_not_create_qprep():
     """model.init must NOT sow stale consts (they would shadow calibration)."""
     model, v, x = _setup("bf16")
     assert "qprep" not in v
+
+
+def test_prepare_for_deployment_host_matches_device():
+    """The host-CPU prepare variant (used by bench.py to dodge eager tunnel
+    latency) produces variables whose forward is bit-identical to the plain
+    prepare's, and the tree structure matches exactly."""
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
+
+    model, v, x = _setup("bf16")
+    v_dev = prepare_for_deployment(model, v, x[:1])
+    v_host = prepare_for_deployment_host(model, v,
+                                         example_shape=(1, 16, 16, 3))
+    assert (jax.tree_util.tree_structure(v_dev)
+            == jax.tree_util.tree_structure(v_host))
+    y_dev = japply(model, v_dev, x, mode="fixed", quant_w=False)
+    y_host = japply(model, v_host, x, mode="fixed", quant_w=False)
+    np.testing.assert_array_equal(np.asarray(y_dev), np.asarray(y_host))

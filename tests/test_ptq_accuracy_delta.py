@@ -113,3 +113,28 @@ def test_ptq_delta_engine_consistency(trained):
                            num_classes=8, width=16)
     m_bf16 = evaluate(bf16_model, qvars, batches)
     assert abs(m_parity["top_1_accuracy"] - m_bf16["top_1_accuracy"]) <= 0.02
+
+
+def test_ptq_delta_bench_deployment_config(trained):
+    """The EXACT bench.py deployment config (bf16 engine + hardware-cast
+    quant + conv_out_bf16 + prepare_for_deployment) reproduces the parity
+    engine's PTQ accuracy — pins the accuracy story behind BENCH_r*.json."""
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+
+    model_fp32, variables, batches, fp32_metrics = trained
+    qmodel = TinyModel(config=FP8, num_classes=8, width=16)
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    m_parity = evaluate(qmodel, qvars, batches)
+
+    bench_cfg = dataclasses.replace(
+        FP8, engine="bf16", conv_out_bf16=True,
+        weight_quant=FP8.weight_quant.replace(cast_fastpath=True),
+        act_quant=FP8.act_quant.replace(cast_fastpath=True))
+    dmodel = TinyModel(config=bench_cfg, num_classes=8, width=16)
+    dvars = prepare_for_deployment(dmodel, qvars, batches[0][0][:1])
+    m_deploy = evaluate(dmodel, dvars, batches, quant_w=False)
+    assert abs(m_parity["top_1_accuracy"] - m_deploy["top_1_accuracy"]) <= 0.02, (
+        m_parity, m_deploy)
