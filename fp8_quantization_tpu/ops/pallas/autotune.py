@@ -96,7 +96,10 @@ def _measure(m: int, k: int, n: int) -> bool:
     kcfg = FusedQuantMatmulConfig(weight_method="fp8", act_method="fp8",
                                   quantize_input=False, activation="relu")
 
+    @jax.jit
     def fused(x):
+        # jit keeps the kernel executable under ensure_compile_time_eval
+        # (raw pallas_call has no eager evaluation rule for program_id)
         return fused_quant_matmul(x, w, maxval_w, ws, ascal, scale, shift,
                                   cfg=kcfg)
 
