@@ -85,6 +85,28 @@ def replicate_variables(mesh: Mesh, variables: Dict[str, Any]) -> Dict[str, Any]
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), variables)
 
 
+def gather_weights(mesh: Mesh, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Gather tp-sharded variables to replicated INSIDE a jitted function.
+
+    The weight-gather tensor-parallel strategy for inference: variables stay
+    sharded over 'model' in HBM (the memory win of tp), and the step function
+    opens by constraining them back to replicated — XLA materializes one
+    all-gather per (large) weight.  Because weight gathers have no upstream
+    compute dependencies, the latency-hiding scheduler is free to hoist and
+    overlap all of them, unlike the activation gathers GSPMD inserts for
+    channel-sharded CNN tp, which sit on the critical path between layers.
+
+    Measured on an AOT v5e:2x4 ResNet-50 executable
+    (tools/tp_overlap_probe.py): activation strategy = 46 synchronous
+    activation all-gathers, 1.14 GB/step on ICI; weight-gather = 38
+    async-fused weight gathers + 4 MB of small sync ones, 0.10 GB/step —
+    11x less traffic, all of it overlappable.
+    """
+    repl = replicated(mesh)
+    return jax.tree.map(
+        lambda t: jax.lax.with_sharding_constraint(t, repl), variables)
+
+
 # ---------------------------------------------------------------------------
 # Distributed drivers: same code paths as calibration/calibrate.py, with the
 # inputs (and optionally weights) sharded.  jit compiles one SPMD program.

@@ -9,8 +9,8 @@ import pytest
 from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
 from fp8_quantization_tpu.nn.config import make_layer_config
 from fp8_quantization_tpu.parallel import (
-    calibrate_sharded, evaluate_sharded, make_mesh, shard_batch,
-    shard_qat_state, shard_variables)
+    calibrate_sharded, evaluate_sharded, gather_weights, make_mesh,
+    replicated, shard_batch, shard_qat_state, shard_variables)
 from tests._tiny import TinyModel
 
 FP8 = make_layer_config(
@@ -79,6 +79,27 @@ def test_sharded_eval_matches_single_device():
     assert out["num_examples"] == ref["num_examples"]
     np.testing.assert_allclose(out["top_1_accuracy"], ref["top_1_accuracy"])
     np.testing.assert_allclose(out["loss"], ref["loss"], rtol=1e-5)
+
+
+def test_weight_gather_tp_matches_single_device():
+    """Weight-gather tp inference (variables sharded in HBM, gathered at
+    jit entry — parallel/api.gather_weights) == single-device forward."""
+    model = TinyModel(config=FP8)
+    x, _ = _data()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(model, variables, [x])
+
+    ref = model.apply(variables, x, mode="fixed")
+
+    mesh = make_mesh(data=1, model=8)
+    sharded = shard_variables(mesh, variables)
+    xr = jax.device_put(x, replicated(mesh))
+    fn = jax.jit(lambda v, xx: model.apply(gather_weights(mesh, v), xx,
+                                           mode="fixed"),
+                 out_shardings=replicated(mesh))
+    out = fn(sharded, xr)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_sharded_qat_step():

@@ -13,13 +13,21 @@ collectives:
     latency);
   * optionally captures a jax.profiler trace for timeline inspection.
 
-Environment note (honest scope): this machine exposes ONE physical TPU chip,
-so the probe runs on a virtual 8-device CPU mesh — the schedule analysis is
-structural (does the compiler emit async pairs that straddle compute?), not a
-wall-clock ICI measurement.  Re-running with --platform tpu on a real slice
-performs the same analysis on the TPU executable.
+Environment note (honest scope): this machine exposes ONE physical TPU chip.
+Two modes cover it:
 
-Usage: python tools/tp_overlap_probe.py [--tp 8] [--trace DIR]
+  * ``--platform cpu`` (default): virtual 8-device CPU mesh — executes the
+    sharded program for correctness, but CPU XLA schedules collectives
+    synchronously, so it says nothing about overlap.
+  * ``--topo v5e:2x4``: AOT-compiles the SAME program against a real v5e-8
+    topology (jax.experimental.topologies, compile-only PJRT client — no
+    chips needed).  The analysis then inspects the actual TPU executable's
+    schedule: async start/done collective pairs and how much compute the
+    latency-hiding scheduler placed inside each in-flight window.  This is
+    the TPU answer to "does XLA overlap the tp collectives?"; only the
+    wall-clock ICI numbers still need a real slice.
+
+Usage: python tools/tp_overlap_probe.py [--tp 8] [--topo v5e:2x4] [--trace DIR]
 """
 
 import argparse
@@ -41,6 +49,20 @@ def main():
     ap.add_argument("--arch", default="resnet50")
     ap.add_argument("--trace", default=None)
     ap.add_argument("--dump-hlo", default=None)
+    ap.add_argument("--topo", default=None,
+                    help="AOT-compile against a TPU topology (e.g. v5e:2x4) "
+                         "instead of executing on --platform devices")
+    ap.add_argument("--strategy", default="activation",
+                    choices=("activation", "weight-gather"),
+                    help="activation: GSPMD-propagated channel tp (gathers "
+                         "activations between layers, critical-path). "
+                         "weight-gather: weights stay sharded in HBM and are "
+                         "gathered at entry — every gather is upstream-"
+                         "independent, so the scheduler can overlap them")
+    ap.add_argument("--lhs", action="store_true",
+                    help="compile with xla_tpu_enable_latency_hiding_"
+                         "scheduler=true (the async-collective hint VERDICT "
+                         "item 8 asks for)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -66,60 +88,167 @@ def main():
     model = (resnet50_quantized if args.arch == "resnet50"
              else resnet18_quantized)(config, num_classes=1000)
 
-    mesh = make_mesh(data=1, model=args.tp)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.normal(0, 1, (args.batch, 224, 224, 3)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:2])
-    variables = shard_variables(mesh, variables)   # tp over output channels
-    x = jax.device_put(x, replicated(mesh))
+    if args.topo:
+        # AOT against a real TPU topology: shardings ride in_shardings over
+        # abstract shapes (no arrays exist on compile-only devices).
+        from jax.experimental import topologies
+        from jax.sharding import Mesh, NamedSharding
+        from fp8_quantization_tpu.parallel.api import _tp_spec
 
-    fn = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed"),
-                 out_shardings=replicated(mesh))
-    lowered = fn.lower(variables, x)
-    compiled = lowered.compile()
+        topo = topologies.get_topology_desc(args.topo, "tpu")
+        devs = np.array(topo.devices)
+        if devs.size != args.tp:
+            raise SystemExit(f"--topo {args.topo} has {devs.size} devices, "
+                             f"--tp is {args.tp}")
+        mesh = Mesh(devs.reshape(1, args.tp), ("data", "model"))
+        x_shape = jax.ShapeDtypeStruct((args.batch, 224, 224, 3), jnp.float32)
+        var_shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(
+                (2, 224, 224, 3), jnp.float32)))
+        var_shardings = jax.tree_util.tree_map_with_path(
+            lambda p, l: NamedSharding(mesh, _tp_spec(p, l, args.tp)),
+            var_shapes)
+
+        if args.strategy == "weight-gather":
+            from fp8_quantization_tpu.parallel import gather_weights
+
+            def apply_fn(v, xx):
+                # weights live sharded in HBM; gathering them at entry gives
+                # the latency-hiding scheduler N independent gathers
+                return model.apply(gather_weights(mesh, v), xx, mode="fixed")
+        else:
+            def apply_fn(v, xx):
+                return model.apply(v, xx, mode="fixed")
+
+        fn = jax.jit(apply_fn,
+                     in_shardings=(var_shardings, replicated(mesh)),
+                     out_shardings=replicated(mesh))
+        copts = ({"xla_tpu_enable_latency_hiding_scheduler": "true"}
+                 if args.lhs else None)
+        compiled = fn.lower(var_shapes, x_shape).compile(
+            compiler_options=copts)
+        variables = x = None   # no execution in topo mode
+    else:
+        mesh = make_mesh(data=1, model=args.tp)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.normal(0, 1, (args.batch, 224, 224, 3)),
+                        jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x[:2])
+        variables = shard_variables(mesh, variables)  # tp over out channels
+        x = jax.device_put(x, replicated(mesh))
+        if args.strategy == "weight-gather":
+            from fp8_quantization_tpu.parallel import gather_weights
+            fn = jax.jit(
+                lambda v, xx: model.apply(gather_weights(mesh, v), xx,
+                                          mode="fixed"),
+                out_shardings=replicated(mesh))
+        else:
+            fn = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed"),
+                         out_shardings=replicated(mesh))
+        compiled = fn.lower(variables, x).compile()
     hlo = compiled.as_text()
     if args.dump_hlo:
         Path(args.dump_hlo).write_text(hlo)
 
     # ---- structural overlap analysis ------------------------------------
+    # TPU async collectives appear in TWO forms in final HLO:
+    #   * classic all-gather-start / all-gather-done instruction pairs;
+    #   * the async-collective-fusion form — a fusion computation whose ROOT
+    #     is custom-call(AsyncCollectiveStart)/(AsyncCollectiveDone); the
+    #     ENTRY schedule then just calls those fusions.
+    # Map every fusion computation to its role, then walk the ENTRY schedule.
     lines = hlo.splitlines()
+    role = {}    # computation name -> "start" | "done"
+    cur_comp = None
+    for ln in lines:
+        if " -> " in ln and ln.rstrip().endswith("{"):
+            m = re.match(r"\s*%?([\w.-]+) \(", ln)
+            if m:
+                cur_comp = m.group(1)
+        cm = re.search(r'custom_call_target="AsyncCollective(Start|Done)"',
+                       ln)
+        if cm and cur_comp and "ROOT" in ln:
+            role[cur_comp] = cm.group(1).lower()
+
+    entry_at = next((i for i, l in enumerate(lines)
+                     if l.startswith("ENTRY")), None)
+    depth, entry = 0, []
+    for ln in lines[entry_at:]:
+        entry.append(ln)
+        depth += ln.count("{") - ln.count("}")
+        if depth <= 0 and len(entry) > 1:
+            break
+
     coll_re = re.compile(
-        r"(all-gather|all-reduce|reduce-scatter|collective-permute)"
+        r"= \S+ (all-gather|all-reduce|reduce-scatter|collective-permute)"
         r"(-start|-done)?\(")
-    compute_re = re.compile(
-        r"= \S+ (fusion|convolution|dot|custom-call)\(")
+    compute_re = re.compile(r"= \S+ (fusion|convolution|dot)\(")
+    shape_re = re.compile(r"(f32|bf16|f16|f8e\dm\d|s32|s8|u8|u32|pred)"
+                          r"\[([\d,]*)\]")
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "s8": 1, "u8": 1, "pred": 1}
+
+    def line_bytes(ln):
+        """Largest tensor on the line == the gathered/reduced output."""
+        best = 0
+        for dt, dims in shape_re.findall(ln):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            best = max(best, n * dtype_bytes.get(dt, 1))
+        return best
 
     counts = collections.Counter()
-    starts = {}           # name -> line index
+    cbytes = collections.Counter()   # bytes moved per collective category
+    open_windows = []     # line indices of pending async starts
     overlaps = []
-    for i, ln in enumerate(lines):
+    for i, ln in enumerate(entry):
         m = coll_re.search(ln)
         if m:
-            counts[m.group(1) + (m.group(2) or "")] += 1
-            name_m = re.match(r"\s*%?([\w.-]+) = ", ln)
-            if m.group(2) == "-start" and name_m:
-                starts[name_m.group(1)] = i
-            elif m.group(2) == "-done":
-                arg_m = re.search(r"\(%?([\w.-]+)\)", ln)
-                if arg_m and arg_m.group(1) in starts:
-                    j = starts[arg_m.group(1)]
-                    between = sum(1 for k in range(j + 1, i)
-                                  if compute_re.search(lines[k]))
-                    overlaps.append(between)
+            key = ("sync " + m.group(1) if not m.group(2)
+                   else m.group(1) + m.group(2))
+            counts[key] += 1
+            if m.group(2) != "-done":
+                cbytes[key.replace("-start", "")] += line_bytes(ln)
+            if m.group(2) == "-start":
+                open_windows.append((i, 0))
+            elif m.group(2) == "-done" and open_windows:
+                j, n = open_windows.pop()
+                overlaps.append(n)
+            continue
+        fm = re.search(r"calls=%?([\w.-]+)", ln)
+        comp_role = role.get(fm.group(1)) if fm else None
+        if comp_role == "start":
+            counts["async-fusion pair"] += 1
+            cbytes["async-fusion"] += line_bytes(ln)
+            open_windows.append((i, 0))
+            continue
+        if comp_role == "done":
+            if open_windows:
+                j, n = open_windows.pop()
+                overlaps.append(n)
+            continue
+        if compute_re.search(ln):
+            counts["compute"] += 1
+            open_windows = [(j, n + 1) for j, n in open_windows]
 
-    total_compute = sum(1 for ln in lines if compute_re.search(ln))
-    print(f"arch={args.arch} tp={args.tp} platform={args.platform}")
-    print("collectives in optimized HLO:",
-          dict(counts) or "NONE (fully replicated?)")
+    print(f"arch={args.arch} tp={args.tp} "
+          f"target={args.topo or args.platform} lhs={args.lhs}")
+    print("ENTRY schedule:", dict(counts) or "no collectives (replicated?)")
+    print("collective bytes (gathered output, MB):",
+          {k: round(v / 1e6, 1) for k, v in cbytes.most_common()})
     if overlaps:
         hidden = sum(1 for o in overlaps if o > 0)
-        print(f"async pairs: {len(overlaps)}; with compute scheduled inside "
-              f"the in-flight window: {hidden} "
-              f"(avg {np.mean(overlaps):.1f} compute ops inside)")
+        print(f"async windows: {len(overlaps)}; with compute scheduled "
+              f"inside: {hidden} (avg {np.mean(overlaps):.1f} compute ops "
+              f"in flight)")
     else:
-        print("no async start/done pairs — collectives are synchronous "
-              "on this backend's schedule")
-    print(f"total compute instructions: {total_compute}")
+        print("no async collective windows — every collective is a "
+              "synchronous stall on this schedule")
+
+    if args.topo:
+        return   # compile-only target: nothing to execute
 
     # one real execution (correctness under the sharding) + optional trace
     out = fn(variables, x)
