@@ -31,7 +31,7 @@ MODEL_GFLOP = {"resnet18": 1.824, "mobilenet_v2": 0.628}   # fwd, 224px, MAC=2
 
 
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
-          arch: str = "resnet18"):
+          arch: str = "resnet18", act_f8: bool = False):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
@@ -44,7 +44,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
         act_range_method="allminmax", engine=engine,
-        conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant)
+        conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant,
+        deploy_act_f8=act_f8)
     model = (mobilenetv2_quantized if arch == "mobilenet_v2"
              else resnet18_quantized)(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
@@ -78,9 +79,9 @@ def main():
 
     variants = {}
 
-    def add(name, engine, conv_bf16, quant_a, cast_quant=False):
+    def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False):
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
-                                    args.arch)
+                                    args.arch, act_f8)
         fn = jax.jit(lambda v, xx: model.apply(
             v, xx, mode="fixed", quant_w=False, quant_a=quant_a))
         variants[name] = (fn, variables, x)
@@ -91,6 +92,8 @@ def main():
     add("fp8_factored", "bf16", False, True)
     add("fp8_cast", "bf16", False, True, cast_quant=True)
     add("fp8_cast_convbf16", "bf16", True, True, cast_quant=True)
+    add("fp8_cast_convbf16_actf8", "bf16", True, True, cast_quant=True,
+        act_f8=True)
     if args.pallas:
         at.MODE = "auto"                   # measured per-shape gating
         add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)

@@ -102,6 +102,18 @@ def _quant_options(f):
                      default="fp32_after",
                      help="BN after quantized conv (reference parity) or "
                           "folded into per-channel weight scales (deployment)"),
+        click.option("--deploy-cast-quant/--no-deploy-cast-quant",
+                     default=False,
+                     help="fixed-mode FP8 fake-quant as one saturating IEEE "
+                          "f8 cast (bit-exact; ops/fp8.fp8_quantize_cast)"),
+        click.option("--conv-out-bf16/--no-conv-out-bf16", default=False,
+                     help="bf16 conv stores into fused quant epilogues "
+                          "(~2^-9 rounding, halves epilogue HBM traffic)"),
+        click.option("--deploy-act-f8/--no-deploy-act-f8", default=False,
+                     help="store factored activations as IEEE f8 arrays "
+                          "(halves inter-layer HBM traffic; sub-smallest-"
+                          "normal region coarsens to the IEEE subnormal "
+                          "grid — delta pinned in tests)"),
         click.option("--grad-estimator", type=click.Choice(
             ["ste", "stoch_round", "ewgs", "stacked_sigmoid"]), default="ste"),
     ]
@@ -148,7 +160,10 @@ def _setup(kw):
         fp8_mse_include_mantissa_bits=kw["fp8_mse_include_mantissa_bits"],
         fp8_allow_unsigned=kw["fp8_allow_unsigned"],
         engine=kw["engine"], bn_mode=kw["bn_mode"],
-        grad_estimator=kw["grad_estimator"])
+        grad_estimator=kw["grad_estimator"],
+        deploy_cast_quant=kw.get("deploy_cast_quant", False),
+        conv_out_bf16=kw.get("conv_out_bf16", False),
+        deploy_act_f8=kw.get("deploy_act_f8", False))
 
     arch = kw["architecture"]
     model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])

@@ -93,6 +93,7 @@ def make_layer_config(
     grad_estimator: str = "ste",
     conv_out_bf16: bool = False,
     deploy_cast_quant: bool = False,
+    deploy_act_f8: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -129,9 +130,14 @@ def make_layer_config(
                               num_candidates=act_num_candidates or num_candidates,
                               **act_kwargs)
 
+    act_spec = _qspec(act_qmethod, n_bits_act or n_bits, False)
+    if deploy_act_f8:
+        # IEEE-f8 activation storage (ops/fp8.fp8_quantize_cast store_f8):
+        # halves inter-layer activation HBM traffic; rides the cast fastpath.
+        act_spec = act_spec.replace(cast_fastpath=True, store_f8=True)
     return LayerQuantConfig(
         weight_quant=_qspec(qmethod, n_bits, per_channel_weights),
-        act_quant=_qspec(act_qmethod, n_bits_act or n_bits, False),
+        act_quant=act_spec,
         weight_range=weight_range, act_range=act_range,
         quantize_input=quantize_input, bn_mode=bn_mode, engine=engine,
         conv_out_bf16=conv_out_bf16)

@@ -40,8 +40,19 @@ import jax.numpy as jnp
 class Factored(NamedTuple):
     """A fake-quantized tensor in normalized form: value == norm * factor."""
 
-    norm: jax.Array      # bfloat16, values on the normalized quantizer grid
+    norm: jax.Array      # bfloat16 (or an IEEE f8 dtype under the store_f8
+                         # deployment mode), values on the normalized grid
     factor: jax.Array    # float32 scalar (per-tensor activation quantizers)
+
+
+def storage_dtype(norm: jax.Array) -> jax.Array:
+    """Normalized-grid storage convention: keep 1-byte (IEEE f8) arrays as-is
+    (the store_f8 deployment mode, ops/fp8.fp8_quantize_cast), bf16 otherwise.
+    Every consumer upcasts to bf16/f32 at its matmul — an exact, fusable
+    convert in both cases."""
+    if norm.dtype.itemsize == 1:
+        return norm
+    return norm.astype(jnp.bfloat16)
 
 
 MaybeFactored = Union[jax.Array, Factored]
@@ -75,7 +86,11 @@ def fmax_pool(x: MaybeFactored, window_shape, strides=None,
               padding="VALID") -> MaybeFactored:
     """Max pool that stays factored: factor > 0, so max commutes with it."""
     if isinstance(x, Factored):
-        return Factored(nn.max_pool(x.norm, window_shape, strides=strides,
+        # f8-stored norms upcast first (exact): keeps the pool on a dtype
+        # every backend reduces natively; the convert fuses into the pool.
+        norm = (x.norm.astype(jnp.bfloat16) if x.norm.dtype.itemsize == 1
+                else x.norm)
+        return Factored(nn.max_pool(norm, window_shape, strides=strides,
                                     padding=padding), x.factor)
     return nn.max_pool(x, window_shape, strides=strides, padding=padding)
 

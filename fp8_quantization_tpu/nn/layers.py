@@ -119,7 +119,7 @@ class QuantizedLayerBase(nn.Module):
             q_mod = self._act_quantizer()
             if out == "factored" and _factored_act_ok(self.config):
                 norm, factor = q_mod(y, mode=mode, out="factored")
-                return Factored(norm.astype(jnp.bfloat16), factor)
+                return Factored(factored.storage_dtype(norm), factor)
             return q_mod(y, mode=mode)
         return y
 
@@ -310,6 +310,10 @@ class QuantizedLayerBase(nn.Module):
             FusedQuantMatmulConfig, fused_quant_matmul)
         from fp8_quantization_tpu.ops.quantizer import QMethod
 
+        if x2d.dtype.itemsize == 1:
+            # f8-stored factored input (store_f8 mode): exact upcast before
+            # the kernel — Mosaic tiling wants >=2-byte operand dtypes.
+            x2d = x2d.astype(jnp.bfloat16)
         cfg = self.config
         ones = jnp.ones((features,), jnp.float32)
         zeros = jnp.zeros((features,), jnp.float32)
@@ -716,6 +720,6 @@ class QuantizedActivation(nn.Module):
             if out == "factored" and _factored_act_ok(self.config):
                 norm, factor = q_mod(x, mode=mode, update_range=update_range,
                                      out="factored")
-                return Factored(norm.astype(jnp.bfloat16), factor)
+                return Factored(factored.storage_dtype(norm), factor)
             return q_mod(x, mode=mode, update_range=update_range)
         return x

@@ -262,7 +262,8 @@ def fp8_cast_consts(maxval: jax.Array, mantissa_bits, n_bits: int = 8,
     }
 
 
-def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False):
+def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False,
+                      store_f8: bool = False):
     """Fixed-mode FP8 fake-quant via one saturating hardware cast + a
     magic-constant subnormal fixup (bit-exact vs the reference grid).
 
@@ -273,9 +274,23 @@ def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False):
     (Below ``smallest_normal`` the paper's grid is finer than the IEEE f8
     grid, so ``norm`` is NOT generally representable in the f8 dtype itself;
     it is always exact in bf16.)
+
+    ``store_f8`` (deployment, requires ``normalized``): return the IEEE f8
+    ARRAY itself — the saturating cast is the whole quantizer.  1 byte/elem
+    in HBM (half of bf16), and XLA fuses the f8->bf16 upconvert into MXU and
+    depthwise consumers alike (tools/probe_dw_fusion.py), so inter-layer
+    activation traffic halves with zero extra materialization.  The ONE
+    numerics change vs the exact grid: values below ``smallest_normal`` land
+    on the IEEE subnormal grid, whose step is 2x the paper grid's bottom
+    step (the magic-constant fixup's region) — |error| <= sn*2^-(M+1) *
+    cast_scale, i.e. half a bottom-step of a <=1.6%-of-maxval region.
+    Model-level delta pinned in tests/test_ptq_accuracy_delta.py.
     """
     dtype = c["cast_probe"].dtype
     y = jnp.clip(x / c["cast_scale"], c["cast_lo"], c["cast_hi"])
+    if store_f8:
+        assert normalized, "store_f8 is a normalized-storage mode"
+        return y.astype(dtype)
     qc = y.astype(dtype).astype(jnp.float32)
     qb = (y + c["cast_magic"]) - c["cast_magic"]
     q = jnp.where(jnp.abs(y) < c["cast_sn"], qb, qc)

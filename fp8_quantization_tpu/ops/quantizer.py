@@ -69,6 +69,13 @@ class QuantizerSpec:
     # — ~3x fewer VPU ops per element; numerics identical except the lowest
     # binade (bound pinned in tests/test_cast_quant.py).  Opt-in.
     cast_fastpath: bool = False
+    # Deployment storage mode (activation quantizers, implies cast_fastpath):
+    # factored outputs are stored as the IEEE f8 ARRAY itself — 1 byte/elem,
+    # upconvert fuses into every consumer (tools/probe_dw_fusion.py) — so
+    # inter-layer activation HBM traffic halves vs bf16.  Values below the
+    # f8 smallest_normal coarsen to the IEEE subnormal grid (2x the paper
+    # grid's bottom step); model delta pinned in tests.  Opt-in.
+    store_f8: bool = False
     # QAT gradient estimator for the rounding op (rounding_utils.py:158-162):
     # "ste" | "stoch_round" | "ewgs" | "stacked_sigmoid"
     grad_estimator: str = "ste"
@@ -226,7 +233,8 @@ def apply_prepared(spec: QuantizerSpec, consts: QuantState, x: jax.Array, *,
     c = {k: _broadcast(v, x.ndim, channel_axis) for k, v in consts.items()}
     if spec.cast_fastpath and "cast_probe" in consts:
         if factored:
-            return (fp8_ops.fp8_quantize_cast(x, c, normalized=True),
+            return (fp8_ops.fp8_quantize_cast(x, c, normalized=True,
+                                              store_f8=spec.store_f8),
                     c["cast_scale"])
         return fp8_ops.fp8_quantize_cast(x, c)
     if factored:

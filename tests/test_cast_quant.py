@@ -118,3 +118,55 @@ def test_model_level_cast_deployment_bitexact():
         logits[name] = np.asarray(
             model.apply(variables, x, mode="fixed", quant_w=False))
     np.testing.assert_array_equal(logits["cast"], logits["exact"])
+
+
+@pytest.mark.parametrize("mantissa_bits", [2, 3, 4])
+def test_store_f8_numerics_bound(mantissa_bits):
+    """store_f8 mode: exact above the IEEE subnormal threshold; below it the
+    paper grid's half-step uniform region collapses onto the IEEE subnormal
+    grid — |error| <= h/2 * cast_scale with h = sn * 2^-(M+1)... rather, the
+    IEEE RNE round of a paper-grid value moves it at most half an IEEE
+    subnormal step = sn * 2^-M / 2 = sn * 2^-(M+1) (scaled)."""
+    maxval = 2.9
+    dtype = fp8_ops.fp8_cast_dtype(mantissa_bits)
+    c = fp8_ops.fp8_cast_consts(jnp.float32(maxval), mantissa_bits)
+    rng = np.random.RandomState(1)
+    x = np.concatenate([
+        rng.uniform(-1.2 * maxval, 1.2 * maxval, 40_000),
+        rng.normal(0, maxval / 100, 40_000),      # stress the bottom region
+        [0.0, maxval, -maxval],
+    ]).astype(np.float32)
+
+    norm8 = fp8_ops.fp8_quantize_cast(jnp.asarray(x), c, normalized=True,
+                                      store_f8=True)
+    assert norm8.dtype == dtype
+    full8 = np.asarray(norm8, np.float32) * float(c["cast_scale"])
+    exact = np.asarray(fp8_ops.fp8_quantize_cast(jnp.asarray(x), c))
+
+    sn = float(c["cast_sn"])
+    scaled_exact = exact / float(c["cast_scale"])
+    hi = np.abs(scaled_exact) >= sn
+    np.testing.assert_array_equal(full8[hi], exact[hi])
+    # bottom region: at most half an IEEE subnormal step
+    step_ieee = sn * 2.0 ** -mantissa_bits
+    err = np.abs(full8[~hi] - exact[~hi]) / float(c["cast_scale"])
+    assert err.max() <= step_ieee / 2 * (1 + 1e-5), err.max()
+    # and every stored value is on the IEEE grid (exact round-trip)
+    rt = np.asarray(norm8.astype(jnp.float32).astype(dtype), np.float32)
+    np.testing.assert_array_equal(rt, np.asarray(norm8, np.float32))
+
+
+def test_apply_prepared_factored_store_f8_dispatch():
+    state = {"maxval": jnp.float32(3.0), "mantissa_bits": jnp.float32(4.0),
+             "sign_bits": jnp.asarray(1, jnp.int32),
+             "initialized": jnp.asarray(True)}
+    x = jnp.linspace(-4, 4, 1001, dtype=jnp.float32)
+    spec = QuantizerSpec(method=QMethod.fp_quantizer, cast_fastpath=True,
+                         store_f8=True)
+    consts = q.fixed_consts(spec, state)
+    norm, factor = q.apply_prepared(spec, consts, x, factored=True)
+    assert norm.dtype == fp8_ops.fp8_cast_dtype(4)
+    spec_bf16 = spec.replace(store_f8=False)
+    norm_b, factor_b = q.apply_prepared(spec_bf16, consts, x, factored=True)
+    assert norm_b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(factor), np.asarray(factor_b))

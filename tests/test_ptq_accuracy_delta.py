@@ -138,3 +138,29 @@ def test_ptq_delta_bench_deployment_config(trained):
     m_deploy = evaluate(dmodel, dvars, batches, quant_w=False)
     assert abs(m_parity["top_1_accuracy"] - m_deploy["top_1_accuracy"]) <= 0.02, (
         m_parity, m_deploy)
+
+
+def test_ptq_delta_act_f8_storage(trained):
+    """deploy_act_f8 (IEEE-f8 activation storage, halves inter-layer HBM
+    traffic): accuracy within 2% of the parity engine — the only numerics
+    change is the sub-smallest-normal region collapsing to the IEEE
+    subnormal grid (ops/fp8.fp8_quantize_cast store_f8 docstring)."""
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+
+    model_fp32, variables, batches, fp32_metrics = trained
+    qmodel = TinyModel(config=FP8, num_classes=8, width=16)
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    m_parity = evaluate(qmodel, qvars, batches)
+
+    f8_cfg = dataclasses.replace(
+        FP8, engine="bf16", conv_out_bf16=True,
+        weight_quant=FP8.weight_quant.replace(cast_fastpath=True),
+        act_quant=FP8.act_quant.replace(cast_fastpath=True, store_f8=True))
+    dmodel = TinyModel(config=f8_cfg, num_classes=8, width=16)
+    dvars = prepare_for_deployment(dmodel, qvars, batches[0][0][:1])
+    m_f8 = evaluate(dmodel, dvars, batches, quant_w=False)
+    assert abs(m_parity["top_1_accuracy"] - m_f8["top_1_accuracy"]) <= 0.02, (
+        m_parity, m_f8)
