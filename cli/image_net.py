@@ -109,6 +109,10 @@ def _quant_options(f):
         click.option("--conv-out-bf16/--no-conv-out-bf16", default=False,
                      help="bf16 conv stores into fused quant epilogues "
                           "(~2^-9 rounding, halves epilogue HBM traffic)"),
+        click.option("--int8-mxu/--no-int8-mxu", default=False,
+                     help="engine=pallas + INT configs: feed the MXU's "
+                          "native s8xs8->s32 datapath (v5e rates int8 at "
+                          "~2x bf16 peak) instead of bf16 upconversion"),
         click.option("--deploy-act-f8/--no-deploy-act-f8", default=False,
                      help="store factored activations as IEEE f8 arrays "
                           "(halves inter-layer HBM traffic; sub-smallest-"
@@ -163,7 +167,8 @@ def _setup(kw):
         grad_estimator=kw["grad_estimator"],
         deploy_cast_quant=kw.get("deploy_cast_quant", False),
         conv_out_bf16=kw.get("conv_out_bf16", False),
-        deploy_act_f8=kw.get("deploy_act_f8", False))
+        deploy_act_f8=kw.get("deploy_act_f8", False),
+        int8_mxu=kw.get("int8_mxu", False))
 
     arch = kw["architecture"]
     model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])

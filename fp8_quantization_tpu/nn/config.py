@@ -50,6 +50,12 @@ class LayerQuantConfig:
     # result in bfloat16 (fp32 MXU accumulation; ~2^-9 store rounding, far
     # below the quantizer's step) — halves the epilogue's HBM traffic.
     conv_out_bf16: bool = False
+    # pallas engine + INT configs (int_sym weights, int_asym input quant):
+    # run the fused kernel's native s8 x s8 -> s32 MXU datapath (v5e rates
+    # int8 at ~2x the bf16 peak) instead of upconverting the integer
+    # operands to bf16.  Integer accumulation is exact; parity pinned by
+    # tests/test_pallas_qmatmul.py::test_int8_native_mxu_datapath.
+    int8_mxu: bool = False
 
     def replace(self, **kw) -> "LayerQuantConfig":
         return dataclasses.replace(self, **kw)
@@ -94,6 +100,7 @@ def make_layer_config(
     conv_out_bf16: bool = False,
     deploy_cast_quant: bool = False,
     deploy_act_f8: bool = False,
+    int8_mxu: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -140,4 +147,4 @@ def make_layer_config(
         act_quant=act_spec,
         weight_range=weight_range, act_range=act_range,
         quantize_input=quantize_input, bn_mode=bn_mode, engine=engine,
-        conv_out_bf16=conv_out_bf16)
+        conv_out_bf16=conv_out_bf16, int8_mxu=int8_mxu)

@@ -400,11 +400,17 @@ class QuantizedLayerBase(nn.Module):
 
         emit_norm = (out == "factored" and a_method != "none"
                      and not cfg.quantize_input and _factored_act_ok(cfg))
+        # native int8 MXU datapath (config.int8_mxu): only the int_sym x
+        # int_asym input-quant combination maps onto s8 x s8 -> s32
+        mxu = ("int8" if (cfg.int8_mxu and w_method == "int_sym"
+                          and a_method == "int_asym" and cfg.quantize_input
+                          and not emit_norm)
+               else "bfloat16")
         kcfg = FusedQuantMatmulConfig(
             weight_method=w_method, act_method=a_method,
             quantize_input=cfg.quantize_input, activation=self.activation,
             n_bits=cfg.weight_quant.n_bits, act_n_bits=cfg.act_quant.n_bits,
-            emit_norm=emit_norm)
+            mxu_dtype=mxu, emit_norm=emit_norm)
         y = fused_quant_matmul(x2d, kernel2d, w_channel, w_scalars,
                                a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:

@@ -48,6 +48,11 @@ class FusedQuantMatmulConfig:
     block_k: int = 512
     mxu_dtype: str = "bfloat16"         # "bfloat16" (exact for 8-bit grids)
                                         # | "float32" (parity debugging)
+                                        # | "int8" (native s8xs8->s32 MXU
+                                        #   datapath, v5e ~2x bf16 peak;
+                                        #   requires weight_method="int_sym",
+                                        #   act_method="int_asym",
+                                        #   quantize_input=True)
     emit_norm: bool = False             # output-quant epilogue emits the
                                         # *normalized* grid value in bf16
                                         # (cross-layer factored protocol,
@@ -181,6 +186,73 @@ def _qmatmul_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref, shift_ref,
         out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _qmatmul_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
+                         shift_ref, out_ref, acc_ref, xrow_ref, wcol_ref, *,
+                         cfg: FusedQuantMatmulConfig):
+    """Native-int8 (i, j, k) grid step: s8 x s8 -> s32 MXU accumulation.
+
+    The quantized operands are *integers* (xint - zp for int_asym x, wint for
+    int_sym w), so the matmul is exact integer arithmetic — fed to the MXU's
+    int8 datapath (v5e: ~394 TOP/s, 2x the bf16 peak) instead of upconverting
+    to bf16.  Ranges: xint in [0, 2^a - 1] and unsigned-grid wint in
+    [0, 2^b - 1] exceed int8, so both are recentered by 128 where needed and
+    the exact algebraic corrections are accumulated alongside:
+
+      sum_k (xint - zp) wint
+        = sum_k (xs + 128 - zp)(wsg + S_w)            xs = xint - 128
+        = dot(xs, wsg) + S_w * rowsum(xs)             wsg = wint - S_w
+          + (128 - zp) * colsum(wsg)                  S_w = 128 if unsigned
+          + Kp * (128 - zp) * S_w                         else 0
+
+    rowsum/colsum accumulate in f32 scratch (exact: |sums| < 2^24).  The
+    identity holds per element, so K-padding (xint == zp, wint == 0 there)
+    cancels exactly.  Epilogue: y = delta_x * delta_w * (dot + corr), then
+    the shared y*scale + shift / activation chain.
+    """
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bk = x_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xrow_ref[:] = jnp.zeros_like(xrow_ref)
+        wcol_ref[:] = jnp.zeros_like(wcol_ref)
+
+    a_bits = float(cfg.act_n_bits)
+    delta_x = jnp.maximum(as_ref[0, 0], 1e-8)
+    zp = jnp.clip(jnp.round(as_ref[0, 1]), 0.0, 2.0 ** a_bits - 1.0)
+    xint = jnp.clip(jnp.round(x_ref[:] / delta_x) + zp, 0.0,
+                    2.0 ** a_bits - 1.0)
+    xs = xint - 128.0
+
+    signed = ws_ref[0, 1]
+    s_w = 128.0 * (1.0 - signed)
+    delta_w = jnp.maximum(wq_ref[:], 1e-8)
+    int_min = jnp.where(signed > 0, -(2.0 ** (cfg.n_bits - 1)), 0.0)
+    int_max = 2.0 ** (cfg.n_bits - signed) - 1.0
+    wsg = jnp.clip(jnp.round(w_ref[:] / delta_w), int_min, int_max) - s_w
+
+    acc_ref[:] += jax.lax.dot_general(
+        xs.astype(jnp.int8), wsg.astype(jnp.int8),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    xrow_ref[:] += jnp.sum(xs, axis=1, keepdims=True)   # bcast to (bm, 128)
+    wcol_ref[:] += jnp.sum(wsg, axis=0, keepdims=True)
+
+    @pl.when(k == nk - 1)
+    def _():
+        kp = float(nk * bk)          # static: grid and block are trace-time
+        corr = (s_w * xrow_ref[:, :1] + (128.0 - zp) * wcol_ref[:]
+                + kp * (128.0 - zp) * s_w)
+        y = (acc_ref[:].astype(jnp.float32) + corr) * (delta_x * delta_w)
+        y = y * scale_ref[:] + shift_ref[:]
+        if cfg.activation == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif cfg.activation == "relu6":
+            y = jnp.clip(y, 0.0, 6.0)
+        out_ref[:] = y.astype(out_ref.dtype)
+
+
 def _pad_to(x, m, axis):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -218,6 +290,11 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
     assert K == K2, (x.shape, w.shape)
     if cfg.emit_norm:
         assert cfg.act_method != "none" and not cfg.quantize_input, cfg
+    int8_path = cfg.mxu_dtype == "int8"
+    if int8_path:
+        assert (cfg.weight_method == "int_sym"
+                and cfg.act_method == "int_asym" and cfg.quantize_input
+                and not cfg.emit_norm), cfg
     out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
     # Mosaic compiles for TPU only; the CPU backend (tests) runs the
@@ -261,8 +338,17 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
 
     grid = (Mp // bm, Np // bn, Kp // bk)
 
+    if int8_path:
+        kernel = functools.partial(_qmatmul_int8_kernel, cfg=cfg)
+        scratch = [pltpu.VMEM((bm, bn), jnp.int32),
+                   pltpu.VMEM((bm, 128), jnp.float32),
+                   pltpu.VMEM((1, bn), jnp.float32)]
+    else:
+        kernel = functools.partial(_qmatmul_kernel, cfg=cfg)
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+
     out = pl.pallas_call(
-        functools.partial(_qmatmul_kernel, cfg=cfg),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
@@ -283,7 +369,7 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Np * Kp,
             bytes_accessed=4 * (Mp * Kp + Kp * Np + Mp * Np),

@@ -153,3 +153,28 @@ def test_bf16_engine_quantize_input_factored():
     # + two epilogue factor multiplies differ
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_int8_mxu_layer_matches_parity():
+    """config.int8_mxu: the fused kernel's s8 x s8 -> s32 MXU datapath on a
+    full QuantLinear (int_sym weights, int_asym input quant).  Integer
+    accumulation is exact, so only the parity engine's own fp32 rounding
+    separates the two."""
+    from fp8_quantization_tpu.nn.layers import QuantLinear
+
+    cfg = _cfg("parity", qmethod="symmetric_uniform",
+               act_qmethod="asymmetric_uniform").replace(quantize_input=True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.normal(0, 1, (32, 64)), jnp.float32)
+
+    lin_p = QuantLinear(features=16, use_bias=True, config=cfg,
+                        activation="relu")
+    variables = lin_p.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(lin_p, variables, [x])
+    ref = japply(lin_p, variables, x, mode="fixed")
+
+    lin_i = QuantLinear(features=16, use_bias=True, activation="relu",
+                        config=cfg.replace(engine="pallas", int8_mxu=True))
+    out = japply(lin_i, variables, x, mode="fixed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

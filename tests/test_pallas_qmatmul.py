@@ -188,3 +188,70 @@ def test_ragged_shapes_padded_correctly(shape):
     assert out.shape == (m, n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("signed_w", [True, False])
+def test_int8_native_mxu_datapath(signed_w):
+    """mxu_dtype="int8": the s8 x s8 -> s32 integer datapath must match the
+    composed fake-quant oracle.  Integer accumulation is EXACT, so tolerance
+    covers only the oracle's own fp32 rounding.  Covers both weight grids
+    (the unsigned grid exercises the S_w recentering + rowsum correction)."""
+    x, w, b = _data(7)
+    if not signed_w:
+        w = jnp.abs(w)
+    wspec = QuantizerSpec(method=QMethod.symmetric_uniform, per_channel=True)
+    wstate = q.init_state(wspec, N)
+    if signed_w:
+        wmax = jnp.max(jnp.abs(w), axis=0)
+        wstate = q.set_quant_range(wspec, wstate, -wmax, wmax)
+    else:
+        wmax = jnp.max(w, axis=0)
+        wstate = q.set_quant_range(wspec, wstate, jnp.zeros_like(wmax), wmax)
+    assert int(wstate["signed"]) == (1 if signed_w else 0)
+    wq = q.apply(wspec, wstate, w, channel_axis=-1)
+
+    aspec = QuantizerSpec(method=QMethod.asymmetric_uniform)
+    astate = q.set_quant_range(aspec, q.init_state(aspec),
+                               jnp.min(x), jnp.max(x))
+    xq = q.apply(aspec, astate, x)
+    ref = jnp.maximum(xq @ wq + b, 0.0)
+
+    cfg = FusedQuantMatmulConfig(weight_method="int_sym",
+                                 act_method="int_asym", quantize_input=True,
+                                 activation="relu", mxu_dtype="int8")
+    out = fused_quant_matmul(
+        x, w, wstate["delta"],
+        jnp.asarray([0.0, wstate["signed"]], jnp.float32),
+        jnp.asarray([astate["delta"], astate["zero_float"], 0.0]),
+        jnp.ones(N), b, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_native_mxu_low_bit_grids():
+    """W4A8 on the int8 datapath: 4-bit weight integers ride the same s8
+    container (reference's headline QAT config, BASELINE.md)."""
+    x, w, b = _data(8)
+    wspec = QuantizerSpec(method=QMethod.symmetric_uniform, per_channel=True,
+                          n_bits=4)
+    wstate = q.init_state(wspec, N)
+    wmax = jnp.max(jnp.abs(w), axis=0)
+    wstate = q.set_quant_range(wspec, wstate, -wmax, wmax)
+    wq = q.apply(wspec, wstate, w, channel_axis=-1)
+
+    aspec = QuantizerSpec(method=QMethod.asymmetric_uniform)
+    astate = q.set_quant_range(aspec, q.init_state(aspec),
+                               jnp.min(x), jnp.max(x))
+    xq = q.apply(aspec, astate, x)
+    ref = xq @ wq + b
+
+    cfg = FusedQuantMatmulConfig(weight_method="int_sym",
+                                 act_method="int_asym", quantize_input=True,
+                                 n_bits=4, mxu_dtype="int8")
+    out = fused_quant_matmul(
+        x, w, wstate["delta"],
+        jnp.asarray([0.0, wstate["signed"]], jnp.float32),
+        jnp.asarray([astate["delta"], astate["zero_float"], 0.0]),
+        jnp.ones(N), b, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
