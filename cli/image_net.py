@@ -229,6 +229,11 @@ def fp8_cmd_group():
 @click.option("--bake-weights/--no-bake-weights", default=False,
               help="precompute fake-quantized weights once and evaluate with "
                    "the per-step weight-quant chain removed (bit-identical)")
+@click.option("--format-search-passes", type=int, default=0,
+              help="network-aware global FP8 format allocation: N coordinate-"
+                   "descent sweeps minimizing quantized-vs-fp32 logits MSE "
+                   "over per-quantizer mantissa bits (beyond the reference's "
+                   "local per-tensor MSE; calibration/format_search.py)")
 @click.option("--max-eval-batches", type=int, default=None)
 def validate_quantized(**kw):
     """PTQ: calibrate ranges, freeze, evaluate top-1/top-5/loss.
@@ -282,6 +287,19 @@ def validate_quantized(**kw):
         variables = reestimate_bn_stats(model, variables, cal_data,
                                         num_batches=n)
         log.info("BN stats re-estimated on %d batches", n)
+
+    if kw["format_search_passes"] > 0:
+        from fp8_quantization_tpu.calibration.format_search import (
+            network_format_search)
+        from itertools import islice
+        variables, assignment, history = network_format_search(
+            model, variables,
+            list(islice(iter(cal_data), kw["num_est_batches"])),
+            passes=kw["format_search_passes"],
+            quant_w=kw["weight_quant"], quant_a=kw["act_quant"])
+        log.info("global format search: network MSE %.3e -> %.3e; "
+                 "assignment: %s", history[0], history[-1],
+                 json.dumps(assignment))
 
     quant_w = kw["weight_quant"]
     if kw["bake_weights"]:
