@@ -27,39 +27,56 @@ V5E_BF16_PEAK = 197e12   # TF/s per chip
 _SETUP_CACHE = {}
 
 
-MODEL_GFLOP = {"resnet18": 1.824, "mobilenet_v2": 0.628}   # fwd, 224px, MAC=2
+MODEL_GFLOP = {"resnet18": 1.824, "mobilenet_v2": 0.628,
+               "vit_small": 9.2}                           # fwd, 224px, MAC=2
 
 
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
-          arch: str = "resnet18", act_f8: bool = False):
+          arch: str = "resnet18", act_f8: bool = False, qscheme: str = "fp8"):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import (mobilenetv2_quantized,
-                                             resnet18_quantized)
+                                             resnet18_quantized,
+                                             vit_small_quantized)
     from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
     from fp8_quantization_tpu.nn.config import make_layer_config
 
-    config = make_layer_config(
-        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
-        fp8_set_maxval=True, weight_range_method="current_minmax",
-        act_range_method="allminmax", engine=engine,
-        conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant,
-        deploy_act_f8=act_f8)
-    model = (mobilenetv2_quantized if arch == "mobilenet_v2"
-             else resnet18_quantized)(config, num_classes=1000)
+    if qscheme == "int8":
+        # native int8 MXU datapath: int_sym weights quantized IN-KERNEL
+        # (not baked — the s8 path needs the integer grid), int_asym input
+        config = make_layer_config(
+            qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+            per_channel_weights=True, quantize_input=True,
+            weight_range_method="current_minmax",
+            act_range_method="allminmax", engine=engine, int8_mxu=True)
+    else:
+        config = make_layer_config(
+            qmethod="fp_quantizer", per_channel_weights=True,
+            fp8_mantissa_bits=4, fp8_set_maxval=True,
+            weight_range_method="current_minmax",
+            act_range_method="allminmax", engine=engine,
+            conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant,
+            deploy_act_f8=act_f8)
+    ctor = {"mobilenet_v2": mobilenetv2_quantized,
+            "vit_small": vit_small_quantized,
+            "resnet18": resnet18_quantized}[arch]
+    model = ctor(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
         rng = np.random.RandomState(0)
         _SETUP_CACHE["x"] = jnp.asarray(
             rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
     x = _SETUP_CACHE["x"]
     fmt = ("parity" if engine == "parity" else "factored") + (
-        "+cast" if cast_quant else "")
+        "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "")
     if fmt not in _SETUP_CACHE:
         variables = model.init(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
-        # eager transform -> run on the host backend (latency over the tunnel)
-        _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)
+        if qscheme == "int8":
+            _SETUP_CACHE[fmt] = variables      # in-kernel weight quant
+        else:
+            # eager transform -> host backend (latency over the tunnel)
+            _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)
     return model, _SETUP_CACHE[fmt], x
 
 
@@ -75,16 +92,30 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="add an engine=pallas variant (measured autotune "
                          "gating) instead of forcing XLA-only")
+    ap.add_argument("--int8", action="store_true",
+                    help="add the native-int8-MXU variant (int_sym weights "
+                         "+ int_asym input quant on the s8xs8->s32 kernel)")
     args = ap.parse_args()
 
     variants = {}
 
-    def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False):
+    stats = {}
+
+    def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
+            qscheme="fp8"):
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
-                                    args.arch, act_f8)
+                                    args.arch, act_f8, qscheme)
+        quant_w = qscheme == "int8"        # int8: in-kernel weight quant
         fn = jax.jit(lambda v, xx: model.apply(
-            v, xx, mode="fixed", quant_w=False, quant_a=quant_a))
-        variants[name] = (fn, variables, x)
+            v, xx, mode="fixed", quant_w=quant_w, quant_a=quant_a))
+        # compile HERE: the pallas autotune gate (at.MODE) is read at trace
+        # time, so each variant must lower while its intended mode is active
+        compiled = fn.lower(variables, x).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        stats[name] = {"flops": ca.get("flops", float("nan")),
+                       "bytes": ca.get("bytes accessed", float("nan"))}
+        variants[name] = (compiled, variables, x)
 
     import fp8_quantization_tpu.ops.pallas.autotune as at
     at.MODE = "never"                      # XLA-only first; pallas separately
@@ -97,17 +128,9 @@ def main():
     if args.pallas:
         at.MODE = "auto"                   # measured per-shape gating
         add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)
-
-    # compile + cost analysis
-    stats = {}
-    for name, (fn, variables, x) in variants.items():
-        lowered = fn.lower(variables, x)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        stats[name] = {"flops": ca.get("flops", float("nan")),
-                       "bytes": ca.get("bytes accessed", float("nan"))}
-        variants[name] = (compiled, variables, x)
+    if args.int8:
+        at.MODE = "always"                 # s8 path has no XLA equivalent
+        add("int8_mxu_pallas", "pallas", False, True, qscheme="int8")
 
     # interleaved timing
     times = {name: [] for name in variants}
