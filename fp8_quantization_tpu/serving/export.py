@@ -22,24 +22,28 @@ import jax.numpy as jnp
 def export_quantized_model(model, variables: dict, path: str, *,
                            batch_size: Optional[int] = None,
                            image_size: int = 224, channels: int = 3,
-                           bake: bool = True) -> Tuple[str, tuple]:
+                           bake: bool = True,
+                           quant_w: Optional[bool] = None) -> Tuple[str, tuple]:
     """Serialize ``model.apply(variables, x, mode='fixed')`` to ``path``.
 
     ``batch_size=None`` exports with a symbolic (polymorphic) batch
     dimension so one artifact serves any batch size.  ``bake=True`` first
     bakes the fake-quantized weights (bit-identical, faster — nn/bake.py).
+    Pass ``quant_w=False`` with ``bake=False``-style pre-prepared variables
+    (nn/bake.prepare_for_deployment) to export them as-is.
     Returns (path, input_shape_spec).
     """
     from jax import export as jexport
 
-    quant_w = True
-    if bake:
-        from fp8_quantization_tpu.nn.bake import bake_weights
+    if quant_w is None:
+        quant_w = True
+        if bake:
+            from fp8_quantization_tpu.nn.bake import bake_weights
 
-        variables = bake_weights(
-            model, variables,
-            jnp.zeros((1, image_size, image_size, channels), jnp.float32))
-        quant_w = False
+            variables = bake_weights(
+                model, variables,
+                jnp.zeros((1, image_size, image_size, channels), jnp.float32))
+            quant_w = False
 
     def infer(x):
         return model.apply(variables, x, mode="fixed", quant_w=quant_w)

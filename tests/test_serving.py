@@ -51,3 +51,29 @@ def test_export_polymorphic_batch(tmp_path):
         ref = japply(model, variables, xb, mode="fixed")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_export_full_deployment_config(tmp_path):
+    """Export the production path: bf16 engine + hardware-cast quant +
+    bf16 conv stores + IEEE-f8 activation storage, deployment-prepared
+    variables (baked weights, frozen quantizer consts).  The serialized
+    StableHLO recompiles on load, so bf16-engine intermediates may fuse/
+    round differently than the live jit — tolerance covers one bf16
+    rounding; the parity-engine round-trip tests above stay at 1e-6."""
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+
+    model, variables, x = _setup()
+    dcfg = CFG.replace(
+        engine="bf16", conv_out_bf16=True,
+        weight_quant=CFG.weight_quant.replace(cast_fastpath=True),
+        act_quant=CFG.act_quant.replace(cast_fastpath=True, store_f8=True))
+    dmodel = TinyModel(config=dcfg)
+    dvars = prepare_for_deployment(dmodel, variables, x[:1])
+
+    path, _ = export_quantized_model(
+        dmodel, dvars, str(tmp_path / "deploy.bin"),
+        batch_size=4, image_size=16, quant_w=False)
+    ref = japply(dmodel, dvars, x, mode="fixed", quant_w=False)
+    out = load_exported(path)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
