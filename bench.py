@@ -39,7 +39,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 V5E_BF16_PEAK = 197e12
-RESNET18_GFLOP = 1.824   # fwd pass, 224x224, MAC=2 flops
+# fwd pass, 224x224, multiply-accumulate counted as 2 flops.  ResNet-18 is
+# 1.824 GMACs; round-2 audit (tools/roofline.py summing every convolution's
+# literal HLO shapes: 1857.6 GF at batch 512) confirmed 3.648 GF/image —
+# the round-1 value 1.824 was the MAC count, understating TF/s and MFU 2x.
+RESNET18_GFLOP = 3.648
 
 
 def _bench_pair(fn_a, fn_b, args, iters=10, warmup=3, repeats=4):

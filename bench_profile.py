@@ -27,8 +27,9 @@ V5E_BF16_PEAK = 197e12   # TF/s per chip
 _SETUP_CACHE = {}
 
 
-MODEL_GFLOP = {"resnet18": 1.824, "mobilenet_v2": 0.628,
-               "vit_small": 9.2}                           # fwd, 224px, MAC=2
+MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628,
+               "vit_small": 9.2}   # fwd, 224px, MAC=2 flops (resnet18 =
+                                   # 1.824 GMACs; audited via tools/roofline)
 
 
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
