@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused 3x3 conv + epilogue + output fake-quant.
+
+The round-1 fused kernel (qmatmul.py) covers linear/1x1 layers; 3x3 convs —
+most of ResNet — ran as XLA convs with the quant epilogue fused only as far
+as XLA chooses.  This kernel brings the full deployment epilogue (folded
+BN scale/shift, optional residual add, relu, output fake-quant on the
+normalized grid) into the conv itself, with the conv evaluated as shifted
+matmuls on whole images resident in VMEM.
+
+Deployment semantics (the bench path): weights arrive BAKED on the
+normalized quantizer grid (bf16-exact, nn/bake.py) with their per-channel
+factor folded into the epilogue scale, and the input arrives as a factored
+norm (bf16-exact) with its factor folded likewise — so the kernel does no
+operand quantization, only the output quantizer (reference math,
+fp8_quantizer.py:91-133, shared tile fns from qmatmul.py).
+
+Mosaic facts this design relies on (probe: tools/probe_mosaic_ops.py,
+compile-verified for v5e): offset slices along row/sublane dims lower;
+jnp.pad lowers; reshape-collapse before a 2D dot lowers; raw strided
+slices do NOT (stride-2 needs reshape-splits — not in v1).
+
+Grid: one step per group of ``imgs_per_block`` images; everything for the
+group (padded input, weights, accumulator) lives in VMEM.  ResNet-18/50
+block shapes all fit: 56x56x64 bf16 = 0.4 MB/img, 7x7x512 = 50 KB/img.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fp8_quantization_tpu.ops.pallas.qmatmul import (
+    _fp8_quantize_tile, _int_asym_quantize_tile)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedConvConfig:
+    """Static kernel configuration."""
+
+    act_method: str = "none"       # output quantizer: "fp8"|"int_asym"|"none"
+    act_n_bits: int = 8
+    activation: Optional[str] = None     # None | "relu" | "relu6"
+    residual: bool = False         # fuse a post-scale residual add
+    emit_norm: bool = False        # emit normalized-grid bf16 (factored)
+    imgs_per_block: int = 1
+    im2col: bool = True            # one (M, 9*Cin) dot vs 9 per-tap dots
+
+
+def _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res):
+    """Shared epilogue: y*scale + shift [+ residual], activation, out-quant."""
+    y = y * scale_ref[0, 0, 0, :] + shift_ref[0, 0, 0, :]
+    if res is not None:
+        y = y + res.astype(jnp.float32)
+    if cfg.activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif cfg.activation == "relu6":
+        y = jnp.clip(y, 0.0, 6.0)
+    if cfg.act_method == "fp8":
+        y = _fp8_quantize_tile(y, as_ref[0, 0], as_ref[0, 1], as_ref[0, 2],
+                               normalized=cfg.emit_norm,
+                               n_bits=float(cfg.act_n_bits))
+    elif cfg.act_method == "int_asym":
+        y = _int_asym_quantize_tile(y, as_ref[0, 0], as_ref[0, 1],
+                                    cfg.act_n_bits, normalized=cfg.emit_norm)
+    return y
+
+
+def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
+                     cfg: FusedConvConfig):
+    """One grid step: a group of images, full 3x3 conv + epilogue.
+
+    Refs: x (g, H+2, W+2, Cin) pre-padded input norms (bf16);
+    w (3, 3, Cin, Cout) baked normalized weights (bf16);
+    as (1, 3) SMEM output-quant scalars; scale/shift (1, 1, 1, Cout) f32;
+    then — pallas ref order is inputs, outputs, scratch — the optional
+    residual INPUT (g, H, W, Cout), out (g, H, W, Cout), and the
+    (g*H*W, Cout) f32 accumulator scratch.
+    """
+    if cfg.residual:
+        residual_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+        residual_ref = None
+    g, hp, wp, cin = x_ref.shape
+    H, W = hp - 2, wp - 2
+    cout = w_ref.shape[-1]
+    m = g * H * W
+
+    x = x_ref[:]
+    if cfg.im2col:
+        # patches (m, 9*Cin): lane-dim concat of the 9 shifted views; one
+        # K=9*Cin dot fills the MXU far better than Cin-deep taps.
+        cols = [x[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
+                for dy in range(3) for dx in range(3)]
+        patches = jnp.concatenate(cols, axis=1)
+        wm = w_ref[:].reshape(9 * cin, cout)
+        acc = jax.lax.dot_general(
+            patches, wm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((m, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                xs = x[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
+                acc = acc + jax.lax.dot_general(
+                    xs, w_ref[dy, dx, :, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    y = acc_ref[:].reshape(g, H, W, cout)
+    res = residual_ref[:] if cfg.residual else None
+    y = _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
+                        act_scalars: jax.Array,
+                        scale: jax.Array, shift: jax.Array,
+                        residual: Optional[jax.Array] = None,
+                        *, cfg: FusedConvConfig,
+                        interpret: bool = False) -> jax.Array:
+    """y = out_quant(act(conv3x3(x, w) * scale + shift [+ residual])).
+
+    Args:
+      x: (N, H, W, Cin) input norms — bf16-exact grid values (deployment)
+        or plain activations; stride 1, SAME padding.
+      w: (3, 3, Cin, Cout) baked normalized weights.
+      act_scalars: (3,) f32 — fp8: [maxval, mantissa_bits, sign_bits];
+        int_asym: [delta, zero_float, 0]; ignored for "none".
+      scale, shift: (Cout,) folded epilogue (BN/bias and operand factors).
+      residual: optional (N, H, W, Cout), added after scale/shift, before
+        the activation (ResNet basic-block semantics).
+      cfg: static config.
+    """
+    n, H, W, cin = x.shape
+    assert w.shape[:3] == (3, 3, cin), (x.shape, w.shape)
+    cout = w.shape[-1]
+    assert cfg.residual == (residual is not None)
+    g = min(cfg.imgs_per_block, n)
+    while n % g:
+        g -= 1
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
+
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wb = w.astype(jnp.bfloat16)
+    ascal = act_scalars.reshape(1, 3).astype(jnp.float32)
+    if cfg.act_method == "fp8":
+        ascal = ascal.at[0, 0].set(jnp.maximum(ascal[0, 0], 1e-30))
+        mb = jnp.clip(jnp.round(ascal[0, 1]), 1.0,
+                      cfg.act_n_bits - ascal[0, 2])
+        ascal = ascal.at[0, 1].set(mb)
+    sc = scale.reshape(1, 1, 1, cout).astype(jnp.float32)
+    sh = shift.reshape(1, 1, 1, cout).astype(jnp.float32)
+
+    grid = (n // g,)
+    in_specs = [
+        pl.BlockSpec((g, H + 2, W + 2, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xp, wb, ascal, sc, sh]
+    if cfg.residual:
+        in_specs.append(pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual.astype(jnp.bfloat16 if cfg.emit_norm
+                                    else jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_qconv3x3_kernel, cfg=cfg),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, H, W, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * H * W * 9 * cin * cout,
+            bytes_accessed=2 * (n * H * W * (cin + cout)) + 2 * 9 * cin * cout,
+            transcendentals=n * H * W * cout),
+        interpret=interpret,
+    )(*args)
+    return out

@@ -1,0 +1,97 @@
+"""Fused 3x3 conv kernel vs composed-XLA reference semantics (interpret
+mode on CPU; same kernel compiles for TPU via Mosaic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8_quantization_tpu.ops import quantizer as q
+from fp8_quantization_tpu.ops.pallas.qconv import (
+    FusedConvConfig, fused_quant_conv3x3)
+from fp8_quantization_tpu.ops.quantizer import QMethod, QuantizerSpec
+
+N, H, W, CIN, COUT = 2, 8, 8, 16, 8
+
+
+def _data(seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.normal(0, 1, (N, H, W, CIN)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.2, (3, 3, CIN, COUT)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (COUT,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(0, 0.1, (COUT,)), jnp.float32)
+    return x, w, scale, shift
+
+
+def _xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _fp8_out_state(y, mbits=4):
+    spec = QuantizerSpec(method=QMethod.fp_quantizer, mantissa_bits=mbits,
+                         set_maxval=True)
+    state = q.set_quant_range(spec, q.init_state(spec), jnp.min(y), jnp.max(y))
+    return spec, state
+
+
+@pytest.mark.parametrize("im2col", [True, False], ids=["im2col", "taps"])
+def test_conv3x3_epilogue_and_fp8_out_quant(im2col):
+    x, w, scale, shift = _data()
+    yf = _xla_conv(x.astype(jnp.bfloat16).astype(jnp.float32),
+                   w.astype(jnp.bfloat16).astype(jnp.float32))
+    y = jnp.maximum(yf * scale + shift, 0.0)
+    spec, state = _fp8_out_state(y)
+    ref = q.apply(spec, state, y)
+
+    cfg = FusedConvConfig(act_method="fp8", activation="relu", im2col=im2col)
+    out = fused_quant_conv3x3(
+        x, w,
+        jnp.asarray([state["maxval"], state["mantissa_bits"],
+                     state["sign_bits"]]),
+        scale, shift, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    # values land on the same fp8 grid: exact except bin-boundary flips
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
+
+
+def test_conv3x3_residual_and_emit_norm():
+    """ResNet basic-block tail: conv + BN(scale/shift) + residual + relu +
+    block act quantizer emitting the normalized factored value."""
+    x, w, scale, shift = _data(1)
+    rng = np.random.RandomState(2)
+    res = jnp.asarray(rng.normal(0, 1, (N, H, W, COUT)), jnp.float32)
+
+    yf = _xla_conv(x.astype(jnp.bfloat16).astype(jnp.float32),
+                   w.astype(jnp.bfloat16).astype(jnp.float32))
+    y = jnp.maximum(yf * scale + shift
+                    + res.astype(jnp.bfloat16).astype(jnp.float32), 0.0)
+    spec, state = _fp8_out_state(y)
+    ref_norm, ref_factor = q.apply_factored(spec, state, y)
+
+    cfg = FusedConvConfig(act_method="fp8", activation="relu", residual=True,
+                          emit_norm=True)
+    out = fused_quant_conv3x3(
+        x, w,
+        jnp.asarray([state["maxval"], state["mantissa_bits"],
+                     state["sign_bits"]]),
+        scale, shift, residual=res, cfg=cfg, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref_norm, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_conv3x3_imgs_per_block_grouping():
+    x, w, scale, shift = _data(3)
+    cfg1 = FusedConvConfig(act_method="none", imgs_per_block=1)
+    cfg2 = FusedConvConfig(act_method="none", imgs_per_block=2)
+    out1 = fused_quant_conv3x3(x, w, jnp.zeros(3), scale, shift, cfg=cfg1,
+                               interpret=True)
+    out2 = fused_quant_conv3x3(x, w, jnp.zeros(3), scale, shift, cfg=cfg2,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
