@@ -424,6 +424,92 @@ class QuantizedLayerBase(nn.Module):
         return Factored(y, factor)
 
 
+    def _conv3_group(self, n, h, w):
+        """Images per kernel grid step: target M = g*H*W ~ 2-3k rows so the
+        MXU stays fed while VMEM (input + acc + weights) stays under budget."""
+        g = max(1, 2048 // max(1, h * w))
+        while g > 1 and n % g:
+            g -= 1
+        return g
+
+    def _pallas_conv3x3(self, x, kernel, features, mode, quant_a, bn, bn_eps,
+                        use_bias, shift_override=None, x_factor=None,
+                        out: str = "value"):
+        """Fused 3x3 stride-1 conv (ops/pallas/qconv.py), deployment path:
+        baked normalized weights (w_factor folded into the epilogue scale),
+        factored input (x_factor likewise), folded BN/bias, activation and
+        output quant in the kernel epilogue."""
+        from fp8_quantization_tpu.ops.pallas.qconv import (
+            FusedConvConfig, fused_quant_conv3x3)
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+
+        cfg = self.config
+        if x.dtype.itemsize == 1:       # f8-stored factored input
+            x = x.astype(jnp.bfloat16)
+
+        a_method = "none"
+        a_scalars = jnp.zeros((3,), jnp.float32)
+        if quant_a and cfg.quant_a:
+            _, astate = self._act_quantizer()(
+                x.reshape(-1, x.shape[-1]), mode=mode, out="state")
+            if cfg.act_quant.method == QMethod.fp_quantizer:
+                a_method = "fp8"
+                a_scalars = jnp.stack([
+                    astate["maxval"].reshape(()),
+                    astate["mantissa_bits"].astype(jnp.float32),
+                    astate["sign_bits"].astype(jnp.float32)])
+            else:
+                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+                a_method = "int_asym"
+                a_scalars = jnp.stack([
+                    _scale_from_delta(astate["delta"].reshape(()),
+                                      cfg.act_quant.scale_domain,
+                                      cfg.act_quant.eps),
+                    astate["zero_float"].reshape(()),
+                    jnp.asarray(0.0, jnp.float32)])
+
+        scale = jnp.ones((features,), jnp.float32)
+        shift = jnp.zeros((features,), jnp.float32)
+        if shift_override is not None:
+            shift = shift_override
+        elif bn:
+            gamma = self.param("gamma", nn.initializers.ones,
+                               (features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (features,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(features, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(features, jnp.float32))
+            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+            scale, shift = inv, beta - ra_mean.value * inv
+        elif use_bias:
+            shift = self.param("bias", nn.initializers.zeros,
+                               (features,), jnp.float32)
+
+        if x_factor is not None:
+            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
+        # baked normalized kernel factor (gate requires it to be present)
+        scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+
+        emit_norm = (out == "factored" and a_method != "none"
+                     and _factored_act_ok(cfg))
+        kcfg = FusedConvConfig(
+            act_method=a_method, act_n_bits=cfg.act_quant.n_bits,
+            activation=self.activation, emit_norm=emit_norm,
+            imgs_per_block=self._conv3_group(*x.shape[:3]))
+        y = fused_quant_conv3x3(x, kernel, a_scalars, scale, shift, cfg=kcfg)
+        if not emit_norm:
+            return y
+        if a_method == "fp8":
+            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
+                          cfg.act_quant.n_bits - a_scalars[2])
+            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
+        else:
+            factor = a_scalars[0]
+        return Factored(y, factor)
+
+
 def _batch_norm(mdl: nn.Module, y, features: int, eps: float, momentum: float,
                 train_bn: bool):
     """fp32 BN after the quantized op — reference parity
@@ -505,6 +591,26 @@ class QuantConv(QuantizedLayerBase):
                 return Factored(y2d.norm.reshape(n, h, w_, self.features),
                                 y2d.factor)
             return y2d.reshape(n, h, w_, self.features)
+
+        # fused 3x3 path (ops/pallas/qconv.py): deployment only — baked
+        # normalized weights, stride 1, SAME padding; gated by on-device
+        # measurement (autotune.conv3_wins)
+        if (self._pallas_supported(mode, train_bn)
+                and not (quant_w and self.config.quant_w)
+                and self.has_variable("baked", "w_factor")
+                and self.kernel_size == (3, 3) and self.strides == (1, 1)
+                and self.feature_group_count == 1
+                and self.padding == ((1, 1), (1, 1))
+                and not self.config.quantize_input):
+            from fp8_quantization_tpu.ops.pallas.autotune import conv3_wins
+            n, h, w_, _ = x.shape
+            if conv3_wins(n, h, x.shape[-1], self.features,
+                          self._conv3_group(n, h, w_)):
+                return self._pallas_conv3x3(
+                    x, kernel, self.features, mode, quant_a,
+                    self.bn and folded_shift is None, self.bn_eps,
+                    self.use_bias, shift_override=folded_shift,
+                    x_factor=x_factor_in, out=out)
 
         if x_factor_in is None:
             x, x_factor = self._quant_in_engine(x, mode, quant_a)

@@ -51,15 +51,22 @@ def _load_disk_cache() -> None:
     try:
         with open(_CACHE_PATH) as f:
             for key, win in json.load(f).items():
-                m, k, n = (int(v) for v in key.split("x"))
-                _CACHE.setdefault((m, k, n), bool(win))
+                parts = key.split(":")
+                dims = tuple(int(v) for v in parts[-1].split("x"))
+                tag = parts[0] if len(parts) > 1 else ""
+                _CACHE.setdefault((tag,) + dims if tag else dims, bool(win))
     except (OSError, ValueError):
         pass
 
 
 def _save_disk_cache() -> None:
     try:
-        data = {f"{m}x{k}x{n}": win for (m, k, n), win in _CACHE.items()}
+        data = {}
+        for key, win in _CACHE.items():
+            if isinstance(key[0], str):
+                data[f"{key[0]}:" + "x".join(str(v) for v in key[1:])] = win
+            else:
+                data["x".join(str(v) for v in key)] = win
         tmp = f"{_CACHE_PATH}.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(data, f)
@@ -166,5 +173,93 @@ def pallas_wins(m: int, k: int, n: int) -> bool:
         _CACHE[key] = _measure(m, k, n)
         _save_disk_cache()
     logger.info("pallas gate (%d,%d,%d) -> %s", m, k, n,
+                "fused" if _CACHE[key] else "xla")
+    return _CACHE[key]
+
+
+def _measure_conv3(n: int, h: int, cin: int, cout: int, g: int) -> bool:
+    """Time the fused 3x3 conv kernel vs the composed XLA conv + quant chain
+    for one (N, H, H, Cin) -> Cout layer (deployment semantics: baked bf16
+    weights, epilogue scale/shift + relu + fp8 output quant)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+    from fp8_quantization_tpu.ops.pallas.qconv import (
+        FusedConvConfig, fused_quant_conv3x3)
+
+    rng = np.random.RandomState(h * cin % 9973)
+    xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, cin)), jnp.float32)
+          for _ in range(2)]
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), jnp.float32)
+    w = w.astype(jnp.bfloat16).astype(jnp.float32)    # baked grid stand-in
+    scale = jnp.ones((cout,), jnp.float32)
+    shift = jnp.zeros((cout,), jnp.float32)
+    ascal = jnp.asarray([6.0, 4.0, 1.0], jnp.float32)
+    kcfg = FusedConvConfig(act_method="fp8", activation="relu",
+                           emit_norm=False, imgs_per_block=g)
+
+    @jax.jit
+    def fused(x):
+        return fused_quant_conv3x3(x, w, ascal, scale, shift, cfg=kcfg)
+
+    w_bf = w.astype(jnp.bfloat16)
+
+    @jax.jit
+    def composed(x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w_bf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return quantize_to_fp8(jax.nn.relu(y), jnp.asarray(6.0), 4.0)
+
+    def _time(fn):
+        fn(xs[0]).block_until_ready()
+        iters, reps = 4, 3
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = fn(xs[i % len(xs)])
+            out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    try:
+        with jax.ensure_compile_time_eval():
+            t_fused = _time(fused)
+            t_xla = _time(composed)
+    except Exception as exc:
+        logger.warning("conv3 autotune (%d,%d,%d,%d) failed: %s",
+                       n, h, cin, cout, exc)
+        return False
+    win = t_fused < t_xla
+    logger.info("conv3 autotune (%d,%dx%d,%d->%d): fused %.3fms vs xla "
+                "%.3fms -> %s", n, h, h, cin, cout, t_fused * 1e3,
+                t_xla * 1e3, "FUSED" if win else "XLA")
+    return win
+
+
+def conv3_wins(n: int, h: int, cin: int, cout: int, g: int) -> bool:
+    """Should the fused 3x3 conv kernel handle this layer?  Measured once
+    per shape on TPU (cache tag 'c'); always-on for CPU/interpret tests;
+    'heuristic' mode says no (XLA convs are strong — fuse by evidence)."""
+    if MODE == "always":
+        return True
+    if MODE == "never" or MODE == "heuristic":
+        return False
+
+    import jax
+    if jax.default_backend() == "cpu":
+        return True
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = ("c", n, h, cin, cout)
+    if key not in _CACHE:
+        _CACHE[key] = _measure_conv3(n, h, cin, cout, g)
+        _save_disk_cache()
+    logger.info("conv3 gate (%d,%dx%d,%d->%d) -> %s", n, h, h, cin, cout,
                 "fused" if _CACHE[key] else "xla")
     return _CACHE[key]

@@ -75,7 +75,9 @@ def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
                      cfg: FusedConvConfig):
     """One grid step: a group of images, full 3x3 conv + epilogue.
 
-    Refs: x (g, H+2, W+2, Cin) pre-padded input norms (bf16);
+    Refs: x (g, H, W, Cin) input norms (bf16) — SAME padding happens
+    IN-KERNEL (jnp.pad lowers on Mosaic; padding outside materialized an
+    extra (H+2)^2 copy of every activation in HBM);
     w (3, 3, Cin, Cout) baked normalized weights (bf16);
     as (1, 3) SMEM output-quant scalars; scale/shift (1, 1, 1, Cout) f32;
     then — pallas ref order is inputs, outputs, scratch — the optional
@@ -87,12 +89,11 @@ def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
     else:
         out_ref, acc_ref = rest
         residual_ref = None
-    g, hp, wp, cin = x_ref.shape
-    H, W = hp - 2, wp - 2
+    g, H, W, cin = x_ref.shape
     cout = w_ref.shape[-1]
     m = g * H * W
 
-    x = x_ref[:]
+    x = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
     if cfg.im2col:
         # patches (m, 9*Cin): lane-dim concat of the 9 shifted views; one
         # K=9*Cin dot fills the MXU far better than Cin-deep taps.
@@ -149,7 +150,7 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
     interpret = interpret or jax.default_backend() == "cpu"
     out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = x.astype(jnp.bfloat16)
     wb = w.astype(jnp.bfloat16)
     ascal = act_scalars.reshape(1, 3).astype(jnp.float32)
     if cfg.act_method == "fp8":
@@ -162,7 +163,7 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
 
     grid = (n // g,)
     in_specs = [
-        pl.BlockSpec((g, H + 2, W + 2, cin), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),

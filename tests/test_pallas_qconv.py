@@ -95,3 +95,44 @@ def test_conv3x3_imgs_per_block_grouping():
     out2 = fused_quant_conv3x3(x, w, jnp.zeros(3), scale, shift, cfg=cfg2,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_quantconv_3x3_deployment_path_matches_bf16_engine():
+    """End-to-end through QuantConv: baked deployment forward with
+    engine='pallas' routes 3x3 stride-1 convs through the fused kernel
+    (autotune conv3_wins is always-on under CPU) and matches the bf16
+    engine's composed path."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.factored import materialize
+    from fp8_quantization_tpu.nn.layers import QuantConv
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax", engine="bf16")
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    conv = QuantConv(features=8, kernel_size=(3, 3), strides=(1, 1),
+                     padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                     config=cfg)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv, variables, [x])
+    dvars = prepare_for_deployment(conv, variables, x)
+
+    ref = jax.jit(lambda v, xx: materialize(conv.apply(
+        v, xx, mode="fixed", quant_w=False, out="factored")))(dvars, x)
+
+    conv_k = QuantConv(features=8, kernel_size=(3, 3), strides=(1, 1),
+                       padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                       config=dataclasses.replace(cfg, engine="pallas"))
+    out = jax.jit(lambda v, xx: materialize(conv_k.apply(
+        v, xx, mode="fixed", quant_w=False, out="factored")))(dvars, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
