@@ -509,6 +509,64 @@ class QuantizedLayerBase(nn.Module):
             factor = a_scalars[0]
         return Factored(y, factor)
 
+    def _pallas_conv3x3_int8(self, x, kernel, features, mode, bn, bn_eps,
+                             use_bias, shift_override=None, group=1):
+        """Native-int8 fused 3x3 conv (input-quant INT configs): int_asym
+        input + int_sym weights quantized in-kernel onto the s8 MXU
+        datapath (ops/pallas/qconv._qconv3x3_int8_kernel)."""
+        from fp8_quantization_tpu.ops.pallas.qconv import (
+            FusedConvConfig, fused_quant_conv3x3)
+        from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+
+        cfg = self.config
+        _, astate = self._act_quantizer()(
+            x.reshape(-1, x.shape[-1]), mode=mode, out="state")
+        a_scalars = jnp.stack([
+            _scale_from_delta(astate["delta"].reshape(()),
+                              cfg.act_quant.scale_domain, cfg.act_quant.eps),
+            astate["zero_float"].reshape(()),
+            jnp.asarray(0.0, jnp.float32)])
+
+        k2d = kernel.reshape(-1, features)
+        _, wstate = self._weight_quantizer(features)(k2d, mode=mode,
+                                                     out="state")
+        w_delta = _scale_from_delta(wstate["delta"],
+                                    cfg.weight_quant.scale_domain,
+                                    cfg.weight_quant.eps)
+        w_channel = (jnp.broadcast_to(w_delta.reshape(-1), (features,))
+                     if cfg.weight_quant.per_channel
+                     else jnp.full((features,), w_delta.reshape(())))
+        w_scalars = jnp.stack([jnp.asarray(0.0, jnp.float32),
+                               wstate["signed"].astype(jnp.float32)])
+
+        scale = jnp.ones((features,), jnp.float32)
+        shift = jnp.zeros((features,), jnp.float32)
+        if shift_override is not None:
+            shift = shift_override
+        elif bn:
+            gamma = self.param("gamma", nn.initializers.ones,
+                               (features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (features,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(features, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(features, jnp.float32))
+            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+            scale, shift = inv, beta - ra_mean.value * inv
+        elif use_bias:
+            shift = self.param("bias", nn.initializers.zeros,
+                               (features,), jnp.float32)
+
+        kcfg = FusedConvConfig(
+            act_method="int_asym", act_n_bits=cfg.act_quant.n_bits,
+            activation=self.activation, mxu_dtype="int8",
+            n_bits=cfg.weight_quant.n_bits, imgs_per_block=group)
+        return fused_quant_conv3x3(
+            x, kernel, a_scalars, scale, shift,
+            weight_channel_param=w_channel, weight_scalars=w_scalars,
+            cfg=kcfg)
+
 
 def _batch_norm(mdl: nn.Module, y, features: int, eps: float, momentum: float,
                 train_bn: bool):
@@ -592,25 +650,49 @@ class QuantConv(QuantizedLayerBase):
                                 y2d.factor)
             return y2d.reshape(n, h, w_, self.features)
 
-        # fused 3x3 path (ops/pallas/qconv.py): deployment only — baked
-        # normalized weights, stride 1, SAME padding; gated by on-device
-        # measurement (autotune.conv3_wins)
+        # fused 3x3 paths (ops/pallas/qconv.py), gated by on-device
+        # measurement (autotune.conv3_wins):
+        #  - deployment (baked normalized weights, output-quant configs)
+        #  - native-int8 (input-quant INT configs, int8_mxu)
         if (self._pallas_supported(mode, train_bn)
-                and not (quant_w and self.config.quant_w)
-                and self.has_variable("baked", "w_factor")
                 and self.kernel_size == (3, 3) and self.strides == (1, 1)
                 and self.feature_group_count == 1
-                and self.padding == ((1, 1), (1, 1))
-                and not self.config.quantize_input):
-            from fp8_quantization_tpu.ops.pallas.autotune import conv3_wins
-            n, h, w_, _ = x.shape
-            if conv3_wins(n, h, x.shape[-1], self.features,
-                          self._conv3_group(n, h, w_)):
-                return self._pallas_conv3x3(
-                    x, kernel, self.features, mode, quant_a,
-                    self.bn and folded_shift is None, self.bn_eps,
-                    self.use_bias, shift_override=folded_shift,
-                    x_factor=x_factor_in, out=out)
+                and self.padding == ((1, 1), (1, 1))):
+            from fp8_quantization_tpu.ops.quantizer import QMethod
+
+            cfg_ = self.config
+            deploy_ok = (not (quant_w and cfg_.quant_w)
+                         and self.has_variable("baked", "w_factor")
+                         and not cfg_.quantize_input)
+            int8_ok = (cfg_.int8_mxu and cfg_.quantize_input
+                       and quant_w and cfg_.quant_w and quant_a
+                       and cfg_.quant_a and x_factor_in is None
+                       and cfg_.weight_quant.method
+                       == QMethod.symmetric_uniform
+                       and cfg_.act_quant.method
+                       == QMethod.asymmetric_uniform)
+            if deploy_ok or int8_ok:
+                from fp8_quantization_tpu.ops.pallas.autotune import (
+                    conv3_int8_group, conv3_wins)
+                n, h, w_, _ = x.shape
+                if int8_ok:
+                    # the int8 kernel's VMEM envelope is tighter (i32-vreg
+                    # operands): group size resolved by compile-probe
+                    gi = conv3_int8_group(n, h, x.shape[-1], self.features,
+                                          self._conv3_group(n, h, w_))
+                    if gi:
+                        return self._pallas_conv3x3_int8(
+                            x, kernel, self.features, mode,
+                            self.bn and folded_shift is None, self.bn_eps,
+                            self.use_bias, shift_override=folded_shift,
+                            group=gi)
+                elif conv3_wins(n, h, x.shape[-1], self.features,
+                                self._conv3_group(n, h, w_)):
+                    return self._pallas_conv3x3(
+                        x, kernel, self.features, mode, quant_a,
+                        self.bn and folded_shift is None, self.bn_eps,
+                        self.use_bias, shift_override=folded_shift,
+                        x_factor=x_factor_in, out=out)
 
         if x_factor_in is None:
             x, x_factor = self._quant_in_engine(x, mode, quant_a)

@@ -54,7 +54,9 @@ def _load_disk_cache() -> None:
                 parts = key.split(":")
                 dims = tuple(int(v) for v in parts[-1].split("x"))
                 tag = parts[0] if len(parts) > 1 else ""
-                _CACHE.setdefault((tag,) + dims if tag else dims, bool(win))
+                # 'ig' entries hold an int group size; the rest are bools
+                val = int(win) if tag == "ig" else bool(win)
+                _CACHE.setdefault((tag,) + dims if tag else dims, val)
     except (OSError, ValueError):
         pass
 
@@ -263,3 +265,123 @@ def conv3_wins(n: int, h: int, cin: int, cout: int, g: int) -> bool:
     logger.info("conv3 gate (%d,%dx%d,%d->%d) -> %s", n, h, h, cin, cout,
                 "fused" if _CACHE[key] else "xla")
     return _CACHE[key]
+
+
+def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int):
+    """(fused, composed, example inputs) for the int8-conv shape probe."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.pallas.qconv import (
+        FusedConvConfig, fused_quant_conv3x3)
+
+    rng = np.random.RandomState((h * cin + 1) % 9973)
+    xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, cin)), jnp.float32)
+          for _ in range(2)]
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), jnp.float32)
+    w_delta = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    scale = jnp.ones((cout,), jnp.float32)
+    shift = jnp.zeros((cout,), jnp.float32)
+    ascal = jnp.asarray([8.0 / 255.0, 128.0, 0.0], jnp.float32)
+    kcfg = FusedConvConfig(act_method="int_asym", activation="relu",
+                           mxu_dtype="int8", imgs_per_block=g)
+
+    @jax.jit
+    def fused(x):
+        return fused_quant_conv3x3(
+            x, w, ascal, scale, shift, weight_channel_param=w_delta,
+            weight_scalars=jnp.asarray([0.0, 1.0], jnp.float32), cfg=kcfg)
+
+    wq = (jnp.clip(jnp.round(w / w_delta), -128, 127) * w_delta)
+    w_bf = wq.astype(jnp.bfloat16)
+
+    @jax.jit
+    def composed(x):
+        # the XLA path this replaces: fake-quant input, bf16 conv, relu
+        xq = (jnp.clip(jnp.round(x / ascal[0]) + ascal[1], 0, 255)
+              - ascal[1]) * ascal[0]
+        y = jax.lax.conv_general_dilated(
+            xq.astype(jnp.bfloat16), w_bf, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.relu(y)
+
+    return fused, composed, xs
+
+
+def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
+    """Group size for the native-int8 fused 3x3 conv, or 0 for "don't".
+
+    The int8 kernel's VMEM envelope is much tighter than the bf16 one
+    (sub-32-bit operands occupy full i32 vregs inside Mosaic, and the
+    im2col matrix exists per group) and resists static modeling — so the
+    gate is empirical: walk the divisors of ``n`` downward from the
+    heuristic ``g0`` until the kernel *compiles* for the attached device,
+    then (MODE == "auto") keep it only if it beats the composed XLA
+    fake-quant path it replaces.  Cached per shape (tag 'ig': the chosen
+    group; 0 = stay on XLA).
+    """
+    if MODE == "never" or MODE == "heuristic":
+        return 0
+
+    import jax
+    if jax.default_backend() == "cpu":
+        return max(1, g0)    # interpret mode: no VMEM constraint
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = ("ig", n, h, cin, cout)
+    if key not in _CACHE:
+        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0)
+        _save_disk_cache()
+    logger.info("conv3 int8 gate (%d,%dx%d,%d->%d) -> g=%d", n, h, h, cin,
+                cout, _CACHE[key])
+    return _CACHE[key]
+
+
+def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    groups = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    chosen, fused, composed, xs = 0, None, None, None
+    for g in groups:
+        try:
+            fused, composed, xs = _int8_conv_fns(n, h, cin, cout, g)
+            shape = jax.ShapeDtypeStruct((n, h, h, cin), jnp.float32)
+            fused.lower(shape).compile()
+            chosen = g
+            break
+        except Exception as exc:            # VMEM exhaustion at this group
+            logger.info("conv3 int8 (%d,%dx%d,%d->%d) g=%d: %s", n, h, h,
+                        cin, cout, g, str(exc)[:120])
+    if chosen == 0:
+        return 0
+    if MODE == "always":
+        return chosen
+
+    def _time(fn):
+        fn(xs[0]).block_until_ready()
+        iters, reps = 4, 3
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = fn(xs[i % len(xs)])
+            out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    try:
+        with jax.ensure_compile_time_eval():
+            t_fused = _time(fused)
+            t_xla = _time(composed)
+    except Exception as exc:
+        logger.warning("conv3 int8 autotune (%d,%d,%d,%d) failed: %s",
+                       n, h, cin, cout, exc)
+        return 0
+    logger.info("conv3 int8 autotune (%d,%dx%d,%d->%d) g=%d: fused %.3fms "
+                "vs xla %.3fms", n, h, h, cin, cout, chosen, t_fused * 1e3,
+                t_xla * 1e3)
+    return chosen if t_fused < t_xla else 0

@@ -50,6 +50,13 @@ class FusedConvConfig:
     emit_norm: bool = False        # emit normalized-grid bf16 (factored)
     imgs_per_block: int = 1
     im2col: bool = True            # one (M, 9*Cin) dot vs 9 per-tap dots
+    # "int8": input-quant INT configs on the native s8 x s8 -> s32 MXU
+    # datapath — int_asym input + int_sym weights quantized IN-KERNEL,
+    # recentered by 128 with exact rowsum/colsum corrections (the conv
+    # analogue of qmatmul's int8 path; padding holds zp-128 so padded taps
+    # contribute exactly zero).  act_method is the INPUT quantizer here.
+    mxu_dtype: str = "bfloat16"
+    n_bits: int = 8                # weight quantizer bit-width (int8 path)
 
 
 def _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res):
@@ -120,38 +127,112 @@ def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
+                          shift_ref, out_ref, acc_ref, *,
+                          cfg: FusedConvConfig):
+    """Native-int8 3x3 conv step (input-quant INT configs).
+
+    sum_win (xint - zp) wint  ==  dot(xs, wsg)            xs = xint - 128
+                               + S_w * rowsum(xs)         wsg = wint - S_w
+                               + (128 - zp) * colsum(wsg)
+                               + 9*Cin * (128 - zp) * S_w
+    with SAME padding holding xs = zp - 128 (so padded taps are exactly
+    zero in the true sum, and the identity holds per element).  Epilogue:
+    y = delta_x * delta_w * (...) then scale/shift/activation.
+    """
+    g, H, W, cin = x_ref.shape
+    cout = w_ref.shape[-1]
+    m = g * H * W
+    k9 = 9.0 * cin
+
+    # Quantize the input to int8 BEFORE gathering taps: every f32
+    # temporary stays at (g, H+2, W+2, cin); the (m, 9*cin) im2col matrix
+    # exists only in int8 (a f32 im2col + its round/clip temporaries blew
+    # VMEM at ResNet block shapes).
+    a_bits = float(cfg.act_n_bits)
+    delta_x = jnp.maximum(as_ref[0, 0], 1e-8)
+    zp = jnp.clip(jnp.round(as_ref[0, 1]), 0.0, 2.0 ** a_bits - 1.0)
+    xint = jnp.clip(jnp.round(x_ref[:].astype(jnp.float32) / delta_x) + zp,
+                    0.0, 2.0 ** a_bits - 1.0)
+    xs_f = jnp.pad(xint - 128.0, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                   constant_values=zp - 128.0)
+    xs = xs_f.astype(jnp.int8)
+
+    signed = ws_ref[0, 1]
+    s_w = 128.0 * (1.0 - signed)
+    delta_w = jnp.maximum(wq_ref[0, 0, 0, :], 1e-8)
+    int_min = jnp.where(signed > 0, -(2.0 ** (cfg.n_bits - 1)), 0.0)
+    int_max = 2.0 ** (cfg.n_bits - signed) - 1.0
+    wsg_f = jnp.clip(jnp.round(w_ref[:] / delta_w), int_min, int_max) - s_w
+
+    cols = [xs[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
+            for dy in range(3) for dx in range(3)]
+    patches = jnp.concatenate(cols, axis=1)                   # (m, 9cin) s8
+    wm = wsg_f.astype(jnp.int8).reshape(9 * cin, cout)
+    acc_ref[:] = jax.lax.dot_general(
+        patches, wm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    # rowsum(patches) per output pixel == 3x3 window-sum of the per-pixel
+    # channel sums (keepdims 4D so tap shifts stay in sublane dims)
+    chan = jnp.sum(xs_f, axis=-1, keepdims=True)        # (g, H+2, W+2, 1)
+    rowsum = sum(chan[:, dy:dy + H, dx:dx + W, :]
+                 for dy in range(3) for dx in range(3))       # (g,H,W,1)
+    colsum = jnp.sum(wsg_f, axis=(0, 1, 2)).reshape(1, cout)  # (1, cout)
+    corr = (s_w * rowsum.reshape(m, 1) + (128.0 - zp) * colsum
+            + k9 * (128.0 - zp) * s_w)
+    y = (acc_ref[:].astype(jnp.float32) + corr) * (delta_x * delta_w)
+    y = y.reshape(g, H, W, cout)
+    y = y * scale_ref[0, 0, 0, :] + shift_ref[0, 0, 0, :]
+    if cfg.activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif cfg.activation == "relu6":
+        y = jnp.clip(y, 0.0, 6.0)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
 def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
                         act_scalars: jax.Array,
                         scale: jax.Array, shift: jax.Array,
                         residual: Optional[jax.Array] = None,
+                        weight_channel_param: Optional[jax.Array] = None,
+                        weight_scalars: Optional[jax.Array] = None,
                         *, cfg: FusedConvConfig,
                         interpret: bool = False) -> jax.Array:
     """y = out_quant(act(conv3x3(x, w) * scale + shift [+ residual])).
 
     Args:
       x: (N, H, W, Cin) input norms — bf16-exact grid values (deployment)
-        or plain activations; stride 1, SAME padding.
-      w: (3, 3, Cin, Cout) baked normalized weights.
+        or plain activations; stride 1, SAME padding.  int8 path: raw
+        activations, quantized in-kernel by ``act_scalars``.
+      w: (3, 3, Cin, Cout) baked normalized weights (bf16 path) or raw f32
+        weights quantized in-kernel (int8 path).
       act_scalars: (3,) f32 — fp8: [maxval, mantissa_bits, sign_bits];
         int_asym: [delta, zero_float, 0]; ignored for "none".
       scale, shift: (Cout,) folded epilogue (BN/bias and operand factors).
       residual: optional (N, H, W, Cout), added after scale/shift, before
-        the activation (ResNet basic-block semantics).
+        the activation (ResNet basic-block semantics; bf16 path only).
+      weight_channel_param / weight_scalars: int8 path only — (Cout,)
+        per-channel int_sym delta and (2,) [0, signed].
       cfg: static config.
     """
     n, H, W, cin = x.shape
     assert w.shape[:3] == (3, 3, cin), (x.shape, w.shape)
     cout = w.shape[-1]
     assert cfg.residual == (residual is not None)
+    int8_path = cfg.mxu_dtype == "int8"
+    if int8_path:
+        assert (cfg.act_method == "int_asym" and not cfg.emit_norm
+                and not cfg.residual and weight_channel_param is not None
+                and weight_scalars is not None), cfg
     g = min(cfg.imgs_per_block, n)
     while n % g:
         g -= 1
 
-    interpret = interpret or jax.default_backend() == "cpu"
+    from fp8_quantization_tpu.ops.pallas.common import use_interpret
+    interpret = use_interpret(interpret)
     out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
-    xp = x.astype(jnp.bfloat16)
-    wb = w.astype(jnp.bfloat16)
     ascal = act_scalars.reshape(1, 3).astype(jnp.float32)
     if cfg.act_method == "fp8":
         ascal = ascal.at[0, 0].set(jnp.maximum(ascal[0, 0], 1e-30))
@@ -162,17 +243,42 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
     sh = shift.reshape(1, 1, 1, cout).astype(jnp.float32)
 
     grid = (n // g,)
-    in_specs = [
-        pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    x_spec = pl.BlockSpec((g, H, W, cin), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    c_spec = pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * n * H * W * 9 * cin * cout,
+        bytes_accessed=2 * (n * H * W * (cin + cout)) + 2 * 9 * cin * cout,
+        transcendentals=n * H * W * cout)
+
+    if int8_path:
+        out = pl.pallas_call(
+            functools.partial(_qconv3x3_int8_kernel, cfg=cfg),
+            grid=grid,
+            in_specs=[x_spec, w_spec, c_spec,
+                      pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      a_spec, c_spec, c_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, H, W, cout), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.int32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x.astype(jnp.float32), w.astype(jnp.float32),
+          jnp.maximum(weight_channel_param, 1e-8).reshape(1, 1, 1, cout)
+          .astype(jnp.float32),
+          weight_scalars.reshape(1, 2).astype(jnp.float32), ascal, sc, sh)
+        return out
+
+    xp = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    in_specs = [x_spec, w_spec, a_spec, c_spec, c_spec]
     args = [xp, wb, ascal, sc, sh]
     if cfg.residual:
         in_specs.append(pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
@@ -184,14 +290,10 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
         functools.partial(_qconv3x3_kernel, cfg=cfg),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, H, W, cout), out_dtype),
         scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * H * W * 9 * cin * cout,
-            bytes_accessed=2 * (n * H * W * (cin + cout)) + 2 * 9 * cin * cout,
-            transcendentals=n * H * W * cout),
+        cost_estimate=cost,
         interpret=interpret,
     )(*args)
     return out

@@ -298,8 +298,11 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
     out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
     # Mosaic compiles for TPU only; the CPU backend (tests) runs the
-    # interpreter — numerics identical.
-    interpret = interpret or jax.default_backend() == "cpu"
+    # interpreter — numerics identical.  AOT tools override via
+    # ops/pallas/common.INTERPRET_OVERRIDE (forces Mosaic lowering without
+    # initializing a backend — the probe hangs when the tunnel is down).
+    from fp8_quantization_tpu.ops.pallas.common import use_interpret
+    interpret = use_interpret(interpret)
 
     bm_c, bn_c, bk_c = cfg.block_m, cfg.block_n, cfg.block_k
     if (bm_c, bn_c, bk_c) == (256, 256, 512) and min(M, K, N) >= 2048:

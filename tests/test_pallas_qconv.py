@@ -136,3 +136,89 @@ def test_quantconv_3x3_deployment_path_matches_bf16_engine():
                                rtol=2e-2, atol=2e-2)
     exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
     assert exact.mean() > 0.98, exact.mean()
+
+
+@pytest.mark.parametrize("signed_w", [True, False])
+def test_conv3x3_int8_native_datapath(signed_w):
+    """mxu_dtype='int8' conv: in-kernel int_asym input quant + int_sym
+    weight quant on the s8 MXU datapath, exact integer accumulation with
+    the recenter corrections (padding holds zp-128 => padded taps are
+    exactly zero)."""
+    x, w, scale, shift = _data(7)
+    if not signed_w:
+        w = jnp.abs(w)
+    wspec = QuantizerSpec(method=QMethod.symmetric_uniform, per_channel=True)
+    wstate = q.init_state(wspec, COUT)
+    wmax = (jnp.max(jnp.abs(w), axis=(0, 1, 2)) if signed_w
+            else jnp.max(w, axis=(0, 1, 2)))
+    wstate = q.set_quant_range(
+        wspec, wstate, -wmax if signed_w else jnp.zeros_like(wmax), wmax)
+    assert int(wstate["signed"]) == (1 if signed_w else 0)
+    wq = q.apply(wspec, wstate, w, channel_axis=-1)
+
+    aspec = QuantizerSpec(method=QMethod.asymmetric_uniform)
+    astate = q.set_quant_range(aspec, q.init_state(aspec),
+                               jnp.min(x), jnp.max(x))
+    xq = q.apply(aspec, astate, x)
+
+    ref = jnp.maximum(_xla_conv(xq, wq) * scale + shift, 0.0)
+
+    cfg = FusedConvConfig(act_method="int_asym", activation="relu",
+                          mxu_dtype="int8", imgs_per_block=2)
+    out = fused_quant_conv3x3(
+        x, w,
+        jnp.asarray([astate["delta"], astate["zero_float"], 0.0]),
+        scale, shift,
+        weight_channel_param=wstate["delta"],
+        weight_scalars=jnp.asarray([0.0, wstate["signed"]], jnp.float32),
+        cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_quantconv_3x3_int8_mxu_matches_parity():
+    """End-to-end: QuantConv with int8_mxu + input-quant INT config routes
+    3x3 stride-1 convs through the native-int8 kernel and matches the
+    parity engine (exact integer accumulation)."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.layers import QuantConv
+    import fp8_quantization_tpu.ops.pallas.qconv as qc
+
+    cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="parity")
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    conv_p = QuantConv(features=8, kernel_size=(3, 3), strides=(1, 1),
+                       padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                       config=cfg)
+    variables = conv_p.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv_p, variables, [x])
+    ref = jax.jit(lambda v, xx: conv_p.apply(v, xx, mode="fixed"))(
+        variables, x)
+
+    calls = []
+    orig = qc.fused_quant_conv3x3
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    conv_i = QuantConv(features=8, kernel_size=(3, 3), strides=(1, 1),
+                       padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                       config=dataclasses.replace(cfg, engine="pallas",
+                                                  int8_mxu=True))
+    qc.fused_quant_conv3x3 = spy
+    try:
+        out = conv_i.apply(variables, x, mode="fixed")
+    finally:
+        qc.fused_quant_conv3x3 = orig
+    assert calls, "int8 conv path did not fire"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
