@@ -74,7 +74,10 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
         variables = model.init(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
         if qscheme == "int8":
-            _SETUP_CACHE[fmt] = variables      # in-kernel weight quant
+            # baked-int8 weights: kernels consume the stored integer grid
+            # (w_prequant) — no weight quant chain in the step
+            from fp8_quantization_tpu.nn.bake import bake_int8_weights_host
+            _SETUP_CACHE[fmt] = bake_int8_weights_host(model, variables)
         else:
             # eager transform -> host backend (latency over the tunnel)
             _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)

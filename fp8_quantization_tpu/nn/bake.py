@@ -108,6 +108,50 @@ def bake_weights(model, variables: Dict[str, Any], example_input, *,
     return out_vars
 
 
+def bake_int8_weights(model, variables: Dict[str, Any], example_input
+                      ) -> Dict[str, Any]:
+    """Pre-quantize weights onto the recentered int8 grid (int8_mxu configs).
+
+    One forward with the 'baked_int8' collection mutable: every layer on
+    the native-int8 MXU path stows its integer-grid weights (int8), the
+    per-channel delta, and the grid signedness
+    (nn/layers._sow_int8_weights).  Evaluate afterwards with
+    ``quant_w=False``: the kernels consume the stored int8 weights directly
+    (w_prequant) — the whole weight round/clip chain leaves the step, VMEM
+    pressure drops (larger fused-conv groups compile), and a serving export
+    carries 4x-smaller weight constants.  Bit-identical outputs: the stored
+    grid is exactly what the in-kernel chain produced
+    (ops/pallas/qmatmul.int8_shifted_grid is shared by both paths).
+    """
+    _, upd = model.apply(variables, example_input, mode="fixed",
+                         mutable=["baked_int8"])
+    out = dict(variables)
+    if "baked_int8" in upd:
+        out["baked_int8"] = upd["baked_int8"]
+    return out
+
+
+def bake_int8_weights_host(model, variables: Dict[str, Any],
+                           example_shape=(1, 64, 64, 3)) -> Dict[str, Any]:
+    """bake_int8_weights on the host CPU backend (one bulk transfer back).
+
+    Same rationale as prepare_for_deployment_host: the bake forward runs
+    eagerly, and eager dispatch to a remote device is latency-bound.
+    """
+    import numpy as np
+
+    devices = {a.device for a in jax.tree.leaves(variables)
+               if hasattr(a, "device")}
+    target = devices.pop() if len(devices) == 1 else jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    host_vars = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
+                             jax.device_get(variables))
+    with jax.default_device(cpu):
+        host_vars = bake_int8_weights(
+            model, host_vars, np.zeros(example_shape, np.float32))
+    return jax.tree.map(lambda a: jax.device_put(a, target), host_vars)
+
+
 def prepare_inference(model, variables: Dict[str, Any], example_input, *,
                       quant_w: bool = True, quant_a: bool = True
                       ) -> Dict[str, Any]:

@@ -321,7 +321,24 @@ class QuantizedLayerBase(nn.Module):
         # weight quantizer state
         w_method = "none"
         w_channel, w_scalars = ones, jnp.zeros((2,), jnp.float32)
-        if quant_w and cfg.quant_w:
+        prequant = (cfg.int8_mxu and cfg.quantize_input and quant_a
+                    and cfg.quant_a
+                    and cfg.act_quant.method == QMethod.asymmetric_uniform
+                    and self.has_variable("baked_int8", "w_int8")
+                    and not self.is_mutable_collection("baked_int8"))
+        if prequant:
+            # baked-int8 weights (nn/bake.bake_int8_weights): the kernel
+            # consumes the stored integer grid, no weight quant in the step.
+            # Takes precedence over the in-kernel chain so deployment keeps
+            # the standard quant_w=True call convention (un-baked layers
+            # still fake-quant correctly).
+            w_method = "int_sym"
+            kernel2d = self.get_variable("baked_int8", "w_int8")
+            w_channel = self.get_variable("baked_int8", "w_delta")
+            w_scalars = jnp.stack([
+                jnp.asarray(0.0, jnp.float32),
+                self.get_variable("baked_int8", "w_signed").reshape(())])
+        elif quant_w and cfg.quant_w:
             _, wstate = self._weight_quantizer(features)(
                 kernel2d, mode=mode, out="state")
             if cfg.weight_quant.method == QMethod.fp_quantizer:
@@ -346,6 +363,9 @@ class QuantizedLayerBase(nn.Module):
                 w_scalars = jnp.stack([
                     jnp.asarray(0.0, jnp.float32),
                     wstate["signed"].astype(jnp.float32)])
+                if cfg.int8_mxu and cfg.quantize_input:
+                    self._sow_int8_weights(kernel2d, w_channel,
+                                           wstate["signed"])
 
         # act quantizer state (input-quant or output-quant)
         a_method = "none"
@@ -410,7 +430,8 @@ class QuantizedLayerBase(nn.Module):
             weight_method=w_method, act_method=a_method,
             quantize_input=cfg.quantize_input, activation=self.activation,
             n_bits=cfg.weight_quant.n_bits, act_n_bits=cfg.act_quant.n_bits,
-            mxu_dtype=mxu, emit_norm=emit_norm)
+            mxu_dtype=mxu, emit_norm=emit_norm,
+            w_prequant=kernel2d.dtype == jnp.int8)
         y = fused_quant_matmul(x2d, kernel2d, w_channel, w_scalars,
                                a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:
@@ -510,10 +531,14 @@ class QuantizedLayerBase(nn.Module):
         return Factored(y, factor)
 
     def _pallas_conv3x3_int8(self, x, kernel, features, mode, bn, bn_eps,
-                             use_bias, shift_override=None, group=1):
+                             use_bias, shift_override=None, group=1,
+                             prequant=False):
         """Native-int8 fused 3x3 conv (input-quant INT configs): int_asym
-        input + int_sym weights quantized in-kernel onto the s8 MXU
-        datapath (ops/pallas/qconv._qconv3x3_int8_kernel)."""
+        input + int_sym weights on the s8 MXU datapath
+        (ops/pallas/qconv._qconv3x3_int8_kernel).  Weights are quantized
+        in-kernel, or — ``prequant`` (after nn/bake.bake_int8_weights) —
+        arrive pre-quantized int8 from the 'baked_int8' collection with the
+        whole weight round/clip chain removed from the step."""
         from fp8_quantization_tpu.ops.pallas.qconv import (
             FusedConvConfig, fused_quant_conv3x3)
         from fp8_quantization_tpu.ops.uniform import _scale_from_delta
@@ -527,17 +552,25 @@ class QuantizedLayerBase(nn.Module):
             astate["zero_float"].reshape(()),
             jnp.asarray(0.0, jnp.float32)])
 
-        k2d = kernel.reshape(-1, features)
-        _, wstate = self._weight_quantizer(features)(k2d, mode=mode,
-                                                     out="state")
-        w_delta = _scale_from_delta(wstate["delta"],
-                                    cfg.weight_quant.scale_domain,
-                                    cfg.weight_quant.eps)
-        w_channel = (jnp.broadcast_to(w_delta.reshape(-1), (features,))
-                     if cfg.weight_quant.per_channel
-                     else jnp.full((features,), w_delta.reshape(())))
-        w_scalars = jnp.stack([jnp.asarray(0.0, jnp.float32),
-                               wstate["signed"].astype(jnp.float32)])
+        if prequant:
+            kernel = self.get_variable("baked_int8", "w_int8")
+            w_channel = self.get_variable("baked_int8", "w_delta")
+            w_scalars = jnp.stack([
+                jnp.asarray(0.0, jnp.float32),
+                self.get_variable("baked_int8", "w_signed").reshape(())])
+        else:
+            k2d = kernel.reshape(-1, features)
+            _, wstate = self._weight_quantizer(features)(k2d, mode=mode,
+                                                         out="state")
+            w_delta = _scale_from_delta(wstate["delta"],
+                                        cfg.weight_quant.scale_domain,
+                                        cfg.weight_quant.eps)
+            w_channel = (jnp.broadcast_to(w_delta.reshape(-1), (features,))
+                         if cfg.weight_quant.per_channel
+                         else jnp.full((features,), w_delta.reshape(())))
+            w_scalars = jnp.stack([jnp.asarray(0.0, jnp.float32),
+                                   wstate["signed"].astype(jnp.float32)])
+            self._sow_int8_weights(kernel, w_channel, wstate["signed"])
 
         scale = jnp.ones((features,), jnp.float32)
         shift = jnp.zeros((features,), jnp.float32)
@@ -561,11 +594,37 @@ class QuantizedLayerBase(nn.Module):
         kcfg = FusedConvConfig(
             act_method="int_asym", act_n_bits=cfg.act_quant.n_bits,
             activation=self.activation, mxu_dtype="int8",
-            n_bits=cfg.weight_quant.n_bits, imgs_per_block=group)
+            n_bits=cfg.weight_quant.n_bits, imgs_per_block=group,
+            w_prequant=prequant)
         return fused_quant_conv3x3(
             x, kernel, a_scalars, scale, shift,
             weight_channel_param=w_channel, weight_scalars=w_scalars,
             cfg=kcfg)
+
+    def _sow_int8_weights(self, kernel, w_channel, signed):
+        """Stow the recentered-int8 weights for nn/bake.bake_int8_weights.
+
+        A no-op unless the caller makes 'baked_int8' mutable (the sown
+        values are dead code otherwise and DCE'd by XLA).  Stored: the int8
+        grid weights, the per-channel delta, and the grid signedness — all
+        a deployment step needs to run the kernels with w_prequant=True.
+        """
+        from fp8_quantization_tpu.ops.pallas.qmatmul import int8_shifted_grid
+
+        if self.is_initializing():
+            # init makes EVERY collection mutable — storing the
+            # uncalibrated grid here would shadow the real bake
+            return
+        wsg = int8_shifted_grid(kernel, w_channel, signed.astype(jnp.float32),
+                                self.config.weight_quant.n_bits)
+        keep = lambda _, v: v  # noqa: E731
+        self.sow("baked_int8", "w_int8", wsg.astype(jnp.int8),
+                 init_fn=lambda: 0., reduce_fn=keep)
+        self.sow("baked_int8", "w_delta", w_channel,
+                 init_fn=lambda: 0., reduce_fn=keep)
+        self.sow("baked_int8", "w_signed",
+                 signed.astype(jnp.float32).reshape(()),
+                 init_fn=lambda: 0., reduce_fn=keep)
 
 
 def _batch_norm(mdl: nn.Module, y, features: int, eps: float, momentum: float,
@@ -664,13 +723,17 @@ class QuantConv(QuantizedLayerBase):
             deploy_ok = (not (quant_w and cfg_.quant_w)
                          and self.has_variable("baked", "w_factor")
                          and not cfg_.quantize_input)
-            int8_ok = (cfg_.int8_mxu and cfg_.quantize_input
-                       and quant_w and cfg_.quant_w and quant_a
-                       and cfg_.quant_a and x_factor_in is None
-                       and cfg_.weight_quant.method
-                       == QMethod.symmetric_uniform
-                       and cfg_.act_quant.method
-                       == QMethod.asymmetric_uniform)
+            int8_base = (cfg_.int8_mxu and cfg_.quantize_input and quant_a
+                         and cfg_.quant_a and x_factor_in is None
+                         and cfg_.weight_quant.method
+                         == QMethod.symmetric_uniform
+                         and cfg_.act_quant.method
+                         == QMethod.asymmetric_uniform)
+            int8_prequant = (
+                int8_base and self.has_variable("baked_int8", "w_int8")
+                and not self.is_mutable_collection("baked_int8"))
+            int8_ok = (int8_base and quant_w
+                       and cfg_.quant_w) or int8_prequant
             if deploy_ok or int8_ok:
                 from fp8_quantization_tpu.ops.pallas.autotune import (
                     conv3_int8_group, conv3_wins)
@@ -679,13 +742,14 @@ class QuantConv(QuantizedLayerBase):
                     # the int8 kernel's VMEM envelope is tighter (i32-vreg
                     # operands): group size resolved by compile-probe
                     gi = conv3_int8_group(n, h, x.shape[-1], self.features,
-                                          self._conv3_group(n, h, w_))
+                                          self._conv3_group(n, h, w_),
+                                          prequant=int8_prequant)
                     if gi:
                         return self._pallas_conv3x3_int8(
                             x, kernel, self.features, mode,
                             self.bn and folded_shift is None, self.bn_eps,
                             self.use_bias, shift_override=folded_shift,
-                            group=gi)
+                            group=gi, prequant=int8_prequant)
                 elif conv3_wins(n, h, x.shape[-1], self.features,
                                 self._conv3_group(n, h, w_)):
                     return self._pallas_conv3x3(

@@ -54,8 +54,8 @@ def _load_disk_cache() -> None:
                 parts = key.split(":")
                 dims = tuple(int(v) for v in parts[-1].split("x"))
                 tag = parts[0] if len(parts) > 1 else ""
-                # 'ig' entries hold an int group size; the rest are bools
-                val = int(win) if tag == "ig" else bool(win)
+                # 'ig'/'igp' entries hold an int group size; rest are bools
+                val = int(win) if tag in ("ig", "igp") else bool(win)
                 _CACHE.setdefault((tag,) + dims if tag else dims, val)
     except (OSError, ValueError):
         pass
@@ -267,7 +267,8 @@ def conv3_wins(n: int, h: int, cin: int, cout: int, g: int) -> bool:
     return _CACHE[key]
 
 
-def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int):
+def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
+                   prequant: bool = False):
     """(fused, composed, example inputs) for the int8-conv shape probe."""
     import jax
     import jax.numpy as jnp
@@ -275,6 +276,7 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int):
 
     from fp8_quantization_tpu.ops.pallas.qconv import (
         FusedConvConfig, fused_quant_conv3x3)
+    from fp8_quantization_tpu.ops.pallas.qmatmul import int8_shifted_grid
 
     rng = np.random.RandomState((h * cin + 1) % 9973)
     xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, cin)), jnp.float32)
@@ -285,12 +287,15 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int):
     shift = jnp.zeros((cout,), jnp.float32)
     ascal = jnp.asarray([8.0 / 255.0, 128.0, 0.0], jnp.float32)
     kcfg = FusedConvConfig(act_method="int_asym", activation="relu",
-                           mxu_dtype="int8", imgs_per_block=g)
+                           mxu_dtype="int8", imgs_per_block=g,
+                           w_prequant=prequant)
+    w_arg = (int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
+             if prequant else w)
 
     @jax.jit
     def fused(x):
         return fused_quant_conv3x3(
-            x, w, ascal, scale, shift, weight_channel_param=w_delta,
+            x, w_arg, ascal, scale, shift, weight_channel_param=w_delta,
             weight_scalars=jnp.asarray([0.0, 1.0], jnp.float32), cfg=kcfg)
 
     wq = (jnp.clip(jnp.round(w / w_delta), -128, 127) * w_delta)
@@ -310,7 +315,8 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int):
     return fused, composed, xs
 
 
-def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
+def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
+                     prequant: bool = False) -> int:
     """Group size for the native-int8 fused 3x3 conv, or 0 for "don't".
 
     The int8 kernel's VMEM envelope is much tighter than the bf16 one
@@ -331,16 +337,17 @@ def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
 
     if not _DISK_LOADED:
         _load_disk_cache()
-    key = ("ig", n, h, cin, cout)
+    key = ("igp" if prequant else "ig", n, h, cin, cout)
     if key not in _CACHE:
-        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0)
+        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0, prequant)
         _save_disk_cache()
     logger.info("conv3 int8 gate (%d,%dx%d,%d->%d) -> g=%d", n, h, h, cin,
                 cout, _CACHE[key])
     return _CACHE[key]
 
 
-def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
+def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
+                        prequant: bool = False) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -348,7 +355,8 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int) -> int:
     chosen, fused, composed, xs = 0, None, None, None
     for g in groups:
         try:
-            fused, composed, xs = _int8_conv_fns(n, h, cin, cout, g)
+            fused, composed, xs = _int8_conv_fns(n, h, cin, cout, g,
+                                                 prequant)
             shape = jax.ShapeDtypeStruct((n, h, h, cin), jnp.float32)
             fused.lower(shape).compile()
             chosen = g

@@ -57,6 +57,8 @@ class FusedConvConfig:
     # contribute exactly zero).  act_method is the INPUT quantizer here.
     mxu_dtype: str = "bfloat16"
     n_bits: int = 8                # weight quantizer bit-width (int8 path)
+    w_prequant: bool = False       # int8 path: w arrives pre-quantized int8
+                                   # on the recentered grid (nn/bake.py)
 
 
 def _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res):
@@ -161,14 +163,19 @@ def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
     signed = ws_ref[0, 1]
     s_w = 128.0 * (1.0 - signed)
     delta_w = jnp.maximum(wq_ref[0, 0, 0, :], 1e-8)
-    int_min = jnp.where(signed > 0, -(2.0 ** (cfg.n_bits - 1)), 0.0)
-    int_max = 2.0 ** (cfg.n_bits - signed) - 1.0
-    wsg_f = jnp.clip(jnp.round(w_ref[:] / delta_w), int_min, int_max) - s_w
+    if cfg.w_prequant:
+        wm = w_ref[:].reshape(9 * cin, cout)     # already int8 grid
+        colsum = jnp.sum(wm.astype(jnp.float32), axis=0,
+                         keepdims=True)                       # (1, cout)
+    else:
+        from fp8_quantization_tpu.ops.pallas.qmatmul import int8_shifted_grid
+        wsg_f = int8_shifted_grid(w_ref[:], delta_w, signed, cfg.n_bits)
+        wm = wsg_f.astype(jnp.int8).reshape(9 * cin, cout)
+        colsum = jnp.sum(wsg_f, axis=(0, 1, 2)).reshape(1, cout)
 
     cols = [xs[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
             for dy in range(3) for dx in range(3)]
     patches = jnp.concatenate(cols, axis=1)                   # (m, 9cin) s8
-    wm = wsg_f.astype(jnp.int8).reshape(9 * cin, cout)
     acc_ref[:] = jax.lax.dot_general(
         patches, wm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -178,7 +185,6 @@ def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
     chan = jnp.sum(xs_f, axis=-1, keepdims=True)        # (g, H+2, W+2, 1)
     rowsum = sum(chan[:, dy:dy + H, dx:dx + W, :]
                  for dy in range(3) for dx in range(3))       # (g,H,W,1)
-    colsum = jnp.sum(wsg_f, axis=(0, 1, 2)).reshape(1, cout)  # (1, cout)
     corr = (s_w * rowsum.reshape(m, 1) + (128.0 - zp) * colsum
             + k9 * (128.0 - zp) * s_w)
     y = (acc_ref[:].astype(jnp.float32) + corr) * (delta_x * delta_w)
@@ -225,6 +231,8 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
         assert (cfg.act_method == "int_asym" and not cfg.emit_norm
                 and not cfg.residual and weight_channel_param is not None
                 and weight_scalars is not None), cfg
+        if cfg.w_prequant:
+            assert w.dtype == jnp.int8, w.dtype
     g = min(cfg.imgs_per_block, n)
     while n % g:
         g -= 1
@@ -270,7 +278,8 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
             scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.int32)],
             cost_estimate=cost,
             interpret=interpret,
-        )(x.astype(jnp.float32), w.astype(jnp.float32),
+        )(x.astype(jnp.float32),
+          w if cfg.w_prequant else w.astype(jnp.float32),
           jnp.maximum(weight_channel_param, 1e-8).reshape(1, 1, 1, cout)
           .astype(jnp.float32),
           weight_scalars.reshape(1, 2).astype(jnp.float32), ascal, sc, sh)

@@ -58,6 +58,11 @@ class FusedQuantMatmulConfig:
                                         # (cross-layer factored protocol,
                                         # nn/factored.py); caller re-applies
                                         # the per-tensor act factor
+    w_prequant: bool = False            # int8 path: w arrives PRE-QUANTIZED
+                                        # as int8 on the recentered grid
+                                        # (nn/bake.bake_int8_weights) — the
+                                        # in-kernel weight round/clip chain
+                                        # is skipped entirely
 
 
 def _fp8_quantize_tile(x, maxval, mbits, sign_bits, normalized=False,
@@ -109,6 +114,20 @@ def _int_sym_quantize_tile(x, delta, n_bits, normalized=False, signed=1.0):
     int_max = 2.0 ** (n_bits - signed) - 1.0
     m = jnp.clip(jnp.round(x / delta), int_min, int_max)
     return m if normalized else m * delta
+
+
+def int8_shifted_grid(w, delta, signed, n_bits):
+    """Weights on the RECENTERED integer grid (f32 values): wsg = wint - S_w.
+
+    S_w = 128 for unsigned grids (so wsg fits int8), 0 for signed.  Shared
+    by the int8 kernels (in-kernel weight quant) and nn/bake.py (baked-int8
+    weight storage) so the two paths can never drift.
+    """
+    delta = jnp.maximum(delta, 1e-8)
+    s_w = 128.0 * (1.0 - signed)
+    int_min = jnp.where(signed > 0, -(2.0 ** (n_bits - 1)), 0.0)
+    int_max = 2.0 ** (n_bits - signed) - 1.0
+    return jnp.clip(jnp.round(w / delta), int_min, int_max) - s_w
 
 
 def _int_asym_quantize_tile(x, delta, zero_float, n_bits, normalized=False):
@@ -229,12 +248,15 @@ def _qmatmul_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
     signed = ws_ref[0, 1]
     s_w = 128.0 * (1.0 - signed)
     delta_w = jnp.maximum(wq_ref[:], 1e-8)
-    int_min = jnp.where(signed > 0, -(2.0 ** (cfg.n_bits - 1)), 0.0)
-    int_max = 2.0 ** (cfg.n_bits - signed) - 1.0
-    wsg = jnp.clip(jnp.round(w_ref[:] / delta_w), int_min, int_max) - s_w
+    if cfg.w_prequant:
+        wsg_i8 = w_ref[:]                    # already int8 recentered grid
+        wsg = wsg_i8.astype(jnp.float32)
+    else:
+        wsg = int8_shifted_grid(w_ref[:], wq_ref[:], signed, cfg.n_bits)
+        wsg_i8 = wsg.astype(jnp.int8)
 
     acc_ref[:] += jax.lax.dot_general(
-        xs.astype(jnp.int8), wsg.astype(jnp.int8),
+        xs.astype(jnp.int8), wsg_i8,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     xrow_ref[:] += jnp.sum(xs, axis=1, keepdims=True)   # bcast to (bm, 128)
     wcol_ref[:] += jnp.sum(wsg, axis=0, keepdims=True)
@@ -295,6 +317,8 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
         assert (cfg.weight_method == "int_sym"
                 and cfg.act_method == "int_asym" and cfg.quantize_input
                 and not cfg.emit_norm), cfg
+        if cfg.w_prequant:
+            assert w.dtype == jnp.int8, w.dtype
     out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
 
     # Mosaic compiles for TPU only; the CPU backend (tests) runs the
@@ -316,7 +340,15 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
     bk = min(bk_c, max(128, K))
 
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
-    wp = _pad_to(_pad_to(w, bk, 0), bn, 1)
+    if int8_path and cfg.w_prequant:
+        # pad with the shifted-grid zero (wint=0 -> wsg = -S_w) so padded
+        # K rows cancel exactly in the recentering identity
+        pad_val = (-128.0 * (1.0 - weight_scalars[1])).astype(jnp.int8)
+        kp_ = (-w.shape[0]) % bk
+        np_ = (-w.shape[1]) % bn
+        wp = jnp.pad(w, ((0, kp_), (0, np_)), constant_values=pad_val)
+    else:
+        wp = _pad_to(_pad_to(w, bk, 0), bn, 1)
     Mp, Kp = xp.shape
     Np = wp.shape[1]
 

@@ -222,3 +222,66 @@ def test_quantconv_3x3_int8_mxu_matches_parity():
     assert calls, "int8 conv path did not fire"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_quantconv_3x3_baked_int8_matches_in_kernel():
+    """bake_int8_weights: the conv consumes stored int8 weights
+    (w_prequant) and matches the in-kernel-quant path bit-exactly."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.layers import QuantConv
+
+    cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="pallas")
+    cfg = dataclasses.replace(cfg, int8_mxu=True)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    conv = QuantConv(features=8, kernel_size=(3, 3), strides=(1, 1),
+                     padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                     config=cfg)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv, variables, [x])
+    ref = conv.apply(variables, x, mode="fixed")       # in-kernel weight q
+
+    baked = bake_int8_weights(conv, variables, x)
+    bi = baked["baked_int8"]
+    leaves = jax.tree.leaves(bi)
+    assert any(a.dtype == jnp.int8 for a in leaves), bi
+    out = conv.apply(baked, x, mode="fixed")           # prequant path
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_quantlinear_baked_int8_matches_in_kernel():
+    """Same for the matmul kernel (QuantLinear on the int8 MXU path)."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.layers import QuantLinear
+
+    cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="pallas")
+    cfg = dataclasses.replace(cfg, int8_mxu=True)
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.normal(0, 1, (16, 32)), jnp.float32)
+
+    lin = QuantLinear(features=24, use_bias=True, config=cfg)
+    variables = lin.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(lin, variables, [x])
+    ref = lin.apply(variables, x, mode="fixed")
+
+    baked = bake_int8_weights(lin, variables, x)
+    assert "baked_int8" in baked, baked.keys()
+    out = lin.apply(baked, x, mode="fixed")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -77,3 +77,31 @@ def test_export_full_deployment_config(tmp_path):
     out = load_exported(path)(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_export_baked_int8_round_trip(tmp_path):
+    """Native-int8 deployment: bake_int8_weights variables export with int8
+    weight constants and the artifact reproduces the live model."""
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+
+    icfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="pallas")
+    icfg = icfg.replace(int8_mxu=True)
+    model = TinyModel(config=icfg)
+    x = jnp.asarray(np.random.RandomState(0).normal(0, 1, (4, 16, 16, 3)),
+                    jnp.float32)
+    variables = calibrate(model, model.init(jax.random.PRNGKey(0), x), [x])
+    baked = bake_int8_weights(model, variables, x)
+    assert any(a.dtype == jnp.int8
+               for a in jax.tree.leaves(baked.get("baked_int8", {})))
+
+    path, _ = export_quantized_model(
+        model, baked, str(tmp_path / "int8.bin"),
+        batch_size=4, image_size=16)
+    ref = japply(model, baked, x, mode="fixed")
+    out = load_exported(path)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
