@@ -455,7 +455,8 @@ class QuantizedLayerBase(nn.Module):
 
     def _pallas_conv3x3(self, x, kernel, features, mode, quant_a, bn, bn_eps,
                         use_bias, shift_override=None, x_factor=None,
-                        out: str = "value"):
+                        out: str = "value", stride: int = 1,
+                        group: Optional[int] = None):
         """Fused 3x3 stride-1 conv (ops/pallas/qconv.py), deployment path:
         baked normalized weights (w_factor folded into the epilogue scale),
         factored input (x_factor likewise), folded BN/bias, activation and
@@ -515,10 +516,13 @@ class QuantizedLayerBase(nn.Module):
 
         emit_norm = (out == "factored" and a_method != "none"
                      and _factored_act_ok(cfg))
+        n_, h_, w__ = x.shape[:3]
+        if group is None:
+            group = self._conv3_group(n_, h_ // stride, w__ // stride)
         kcfg = FusedConvConfig(
             act_method=a_method, act_n_bits=cfg.act_quant.n_bits,
-            activation=self.activation, emit_norm=emit_norm,
-            imgs_per_block=self._conv3_group(*x.shape[:3]))
+            activation=self.activation, emit_norm=emit_norm, stride=stride,
+            imgs_per_block=group)
         y = fused_quant_conv3x3(x, kernel, a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:
             return y
@@ -532,7 +536,7 @@ class QuantizedLayerBase(nn.Module):
 
     def _pallas_conv3x3_int8(self, x, kernel, features, mode, bn, bn_eps,
                              use_bias, shift_override=None, group=1,
-                             prequant=False):
+                             prequant=False, stride: int = 1):
         """Native-int8 fused 3x3 conv (input-quant INT configs): int_asym
         input + int_sym weights on the s8 MXU datapath
         (ops/pallas/qconv._qconv3x3_int8_kernel).  Weights are quantized
@@ -595,7 +599,7 @@ class QuantizedLayerBase(nn.Module):
             act_method="int_asym", act_n_bits=cfg.act_quant.n_bits,
             activation=self.activation, mxu_dtype="int8",
             n_bits=cfg.weight_quant.n_bits, imgs_per_block=group,
-            w_prequant=prequant)
+            w_prequant=prequant, stride=stride)
         return fused_quant_conv3x3(
             x, kernel, a_scalars, scale, shift,
             weight_channel_param=w_channel, weight_scalars=w_scalars,
@@ -692,34 +696,54 @@ class QuantConv(QuantizedLayerBase):
                 kernel, self.features, self.bn_eps)
 
         # fully fused Pallas path: 1x1 conv == matmul (MobileNetV2's dominant
-        # op); quant + matmul + BN/bias + act + out-quant in one kernel
+        # op); quant + matmul + BN/bias + act + out-quant in one kernel.
+        # 1x1 stride-2 (ResNet downsample shortcuts) == the same matmul on
+        # the even/even phase slice — the slice is plain XLA, outside the
+        # kernel, and only survives if the kernel path is actually taken.
         if (self._pallas_supported(mode, train_bn)
-                and self.kernel_size == (1, 1) and self.strides == (1, 1)
+                and self.kernel_size == (1, 1)
                 and self.feature_group_count == 1
                 and self.padding in ("VALID", ((0, 0), (0, 0)))
-                and self._pallas_wins(x.shape, self.features)):
-            n, h, w_, c = x.shape
-            y2d = self._pallas_forward(
-                x.reshape(-1, c), kernel.reshape(c, self.features),
-                self.features, mode, quant_w, quant_a,
-                self.bn and folded_shift is None, self.bn_eps, self.use_bias,
-                shift_override=folded_shift, x_factor=x_factor_in, out=out)
-            if isinstance(y2d, Factored):
-                return Factored(y2d.norm.reshape(n, h, w_, self.features),
-                                y2d.factor)
-            return y2d.reshape(n, h, w_, self.features)
+                and (self.strides == (1, 1)
+                     or (self.strides == (2, 2) and x.shape[1] % 2 == 0
+                         and x.shape[2] % 2 == 0))):
+            xs = x if self.strides == (1, 1) else x[:, ::2, ::2, :]
+            if self._pallas_wins(xs.shape, self.features):
+                n, h, w_, c = xs.shape
+                y2d = self._pallas_forward(
+                    xs.reshape(-1, c), kernel.reshape(c, self.features),
+                    self.features, mode, quant_w, quant_a,
+                    self.bn and folded_shift is None, self.bn_eps,
+                    self.use_bias, shift_override=folded_shift,
+                    x_factor=x_factor_in, out=out)
+                if isinstance(y2d, Factored):
+                    return Factored(y2d.norm.reshape(n, h, w_, self.features),
+                                    y2d.factor)
+                return y2d.reshape(n, h, w_, self.features)
 
         # fused 3x3 paths (ops/pallas/qconv.py), gated by on-device
-        # measurement (autotune.conv3_wins):
+        # measurement (autotune.conv3_group):
         #  - deployment (baked normalized weights, output-quant configs)
         #  - native-int8 (input-quant INT configs, int8_mxu)
+        # stride 2 (ResNet downsample blocks) joins via the kernel's
+        # even/odd phase decomposition (needs even H, W — always true for
+        # the zoo's 56/28/14 downsample inputs).
+        # cin >= 8: an RGB-deep (cin=3) im2col can't tile the 128-lane
+        # registers, and its odd-K int8 dot trips lowering bugs on both
+        # XLA:CPU (mixed i8/i32 add) and Mosaic (unsupported shape cast) —
+        # stem convs belong to XLA regardless.
         if (self._pallas_supported(mode, train_bn)
-                and self.kernel_size == (3, 3) and self.strides == (1, 1)
+                and self.kernel_size == (3, 3)
                 and self.feature_group_count == 1
-                and self.padding == ((1, 1), (1, 1))):
+                and self.padding == ((1, 1), (1, 1))
+                and x.shape[-1] >= 8
+                and (self.strides == (1, 1)
+                     or (self.strides == (2, 2) and x.shape[1] % 2 == 0
+                         and x.shape[2] % 2 == 0))):
             from fp8_quantization_tpu.ops.quantizer import QMethod
 
             cfg_ = self.config
+            stride = self.strides[0]
             deploy_ok = (not (quant_w and cfg_.quant_w)
                          and self.has_variable("baked", "w_factor")
                          and not cfg_.quantize_input)
@@ -736,27 +760,31 @@ class QuantConv(QuantizedLayerBase):
                        and cfg_.quant_w) or int8_prequant
             if deploy_ok or int8_ok:
                 from fp8_quantization_tpu.ops.pallas.autotune import (
-                    conv3_int8_group, conv3_wins)
+                    conv3_group, conv3_int8_group)
                 n, h, w_, _ = x.shape
+                g0 = self._conv3_group(n, h // stride, w_ // stride)
                 if int8_ok:
                     # the int8 kernel's VMEM envelope is tighter (i32-vreg
                     # operands): group size resolved by compile-probe
                     gi = conv3_int8_group(n, h, x.shape[-1], self.features,
-                                          self._conv3_group(n, h, w_),
-                                          prequant=int8_prequant)
+                                          g0, prequant=int8_prequant,
+                                          stride=stride)
                     if gi:
                         return self._pallas_conv3x3_int8(
                             x, kernel, self.features, mode,
                             self.bn and folded_shift is None, self.bn_eps,
                             self.use_bias, shift_override=folded_shift,
-                            group=gi, prequant=int8_prequant)
-                elif conv3_wins(n, h, x.shape[-1], self.features,
-                                self._conv3_group(n, h, w_)):
-                    return self._pallas_conv3x3(
-                        x, kernel, self.features, mode, quant_a,
-                        self.bn and folded_shift is None, self.bn_eps,
-                        self.use_bias, shift_override=folded_shift,
-                        x_factor=x_factor_in, out=out)
+                            group=gi, prequant=int8_prequant, stride=stride)
+                else:
+                    gb = conv3_group(n, h, x.shape[-1], self.features, g0,
+                                     stride=stride)
+                    if gb:
+                        return self._pallas_conv3x3(
+                            x, kernel, self.features, mode, quant_a,
+                            self.bn and folded_shift is None, self.bn_eps,
+                            self.use_bias, shift_override=folded_shift,
+                            x_factor=x_factor_in, out=out, stride=stride,
+                            group=gb)
 
         if x_factor_in is None:
             x, x_factor = self._quant_in_engine(x, mode, quant_a)

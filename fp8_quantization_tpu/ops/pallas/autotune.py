@@ -30,8 +30,9 @@ logger = logging.getLogger(__name__)
 MODE = os.environ.get("FP8TPU_PALLAS_AUTOTUNE", "auto")
 
 _CACHE: Dict[Tuple[int, int, int], bool] = {}
+# v2: conv tags ('c', 'c2', 'ig*') hold the chosen group size (0 = XLA)
 _CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE",
-                             "/tmp/fp8tpu_autotune.json")
+                             "/tmp/fp8tpu_autotune_v2.json")
 _DISK_LOADED = False
 
 
@@ -54,8 +55,9 @@ def _load_disk_cache() -> None:
                 parts = key.split(":")
                 dims = tuple(int(v) for v in parts[-1].split("x"))
                 tag = parts[0] if len(parts) > 1 else ""
-                # 'ig'/'igp' entries hold an int group size; rest are bools
-                val = int(win) if tag in ("ig", "igp") else bool(win)
+                # matmul entries are bools; conv tags hold group ints
+                val = (int(win) if tag.startswith(("ig", "c"))
+                       else bool(win))
                 _CACHE.setdefault((tag,) + dims if tag else dims, val)
     except (OSError, ValueError):
         pass
@@ -164,8 +166,8 @@ def pallas_wins(m: int, k: int, n: int) -> bool:
     if MODE == "heuristic":
         return _heuristic(m, k, n)
 
-    import jax
-    if jax.default_backend() == "cpu":
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
         return True   # interpret mode: keep the kernel path test-covered
 
     if not _DISK_LOADED:
@@ -179,10 +181,11 @@ def pallas_wins(m: int, k: int, n: int) -> bool:
     return _CACHE[key]
 
 
-def _measure_conv3(n: int, h: int, cin: int, cout: int, g: int) -> bool:
-    """Time the fused 3x3 conv kernel vs the composed XLA conv + quant chain
-    for one (N, H, H, Cin) -> Cout layer (deployment semantics: baked bf16
-    weights, epilogue scale/shift + relu + fp8 output quant)."""
+def _conv3_fns(n: int, h: int, cin: int, cout: int, g: int,
+               stride: int = 1):
+    """(fused, composed, example inputs) for the bf16 conv-shape probe
+    (deployment semantics: baked bf16 weights, epilogue scale/shift + relu
+    + fp8 output quant)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -200,7 +203,7 @@ def _measure_conv3(n: int, h: int, cin: int, cout: int, g: int) -> bool:
     shift = jnp.zeros((cout,), jnp.float32)
     ascal = jnp.asarray([6.0, 4.0, 1.0], jnp.float32)
     kcfg = FusedConvConfig(act_method="fp8", activation="relu",
-                           emit_norm=False, imgs_per_block=g)
+                           emit_norm=False, imgs_per_block=g, stride=stride)
 
     @jax.jit
     def fused(x):
@@ -211,64 +214,95 @@ def _measure_conv3(n: int, h: int, cin: int, cout: int, g: int) -> bool:
     @jax.jit
     def composed(x):
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), w_bf, (1, 1), ((1, 1), (1, 1)),
+            x.astype(jnp.bfloat16), w_bf, (stride, stride), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         return quantize_to_fp8(jax.nn.relu(y), jnp.asarray(6.0), 4.0)
 
-    def _time(fn):
-        fn(xs[0]).block_until_ready()
-        iters, reps = 4, 3
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = fn(xs[i % len(xs)])
-            out.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    try:
-        with jax.ensure_compile_time_eval():
-            t_fused = _time(fused)
-            t_xla = _time(composed)
-    except Exception as exc:
-        logger.warning("conv3 autotune (%d,%d,%d,%d) failed: %s",
-                       n, h, cin, cout, exc)
-        return False
-    win = t_fused < t_xla
-    logger.info("conv3 autotune (%d,%dx%d,%d->%d): fused %.3fms vs xla "
-                "%.3fms -> %s", n, h, h, cin, cout, t_fused * 1e3,
-                t_xla * 1e3, "FUSED" if win else "XLA")
-    return win
+    return fused, composed, xs
 
 
-def conv3_wins(n: int, h: int, cin: int, cout: int, g: int) -> bool:
-    """Should the fused 3x3 conv kernel handle this layer?  Measured once
-    per shape on TPU (cache tag 'c'); always-on for CPU/interpret tests;
-    'heuristic' mode says no (XLA convs are strong — fuse by evidence)."""
+def _time_fn(fn, xs):
+    fn(xs[0]).block_until_ready()
+    iters, reps = 4, 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(xs[i % len(xs)])
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def conv3_group(n: int, h: int, cin: int, cout: int, g0: int,
+                stride: int = 1) -> int:
+    """Group size for the fused bf16 3x3 conv, or 0 for "stay on XLA".
+
+    Walks the divisors of ``n`` downward from the heuristic ``g0`` until
+    the kernel compiles within the device's VMEM budget (stride-2's phase
+    planes raise the footprint beyond the static model), then keeps the
+    first compiling group only if it beats the composed XLA conv + quant
+    chain it replaces.  Measured once per shape on TPU (cache tag 'c' /
+    'c2' for stride 2, value = chosen group, 0 = XLA); ``g0`` as-is for
+    CPU/interpret tests; 'heuristic' mode says no (XLA convs are strong —
+    fuse by evidence)."""
     if MODE == "always":
-        return True
+        return max(1, g0)
     if MODE == "never" or MODE == "heuristic":
-        return False
+        return 0
 
-    import jax
-    if jax.default_backend() == "cpu":
-        return True
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
+        return max(1, g0)
 
     if not _DISK_LOADED:
         _load_disk_cache()
-    key = ("c", n, h, cin, cout)
+    key = ("c" if stride == 1 else "c2", n, h, cin, cout)
     if key not in _CACHE:
-        _CACHE[key] = _measure_conv3(n, h, cin, cout, g)
+        _CACHE[key] = _resolve_conv3_group(n, h, cin, cout, g0, stride)
         _save_disk_cache()
-    logger.info("conv3 gate (%d,%dx%d,%d->%d) -> %s", n, h, h, cin, cout,
-                "fused" if _CACHE[key] else "xla")
-    return _CACHE[key]
+    logger.info("conv3 gate (%d,%dx%d,%d->%d,s%d) -> g=%d", n, h, h, cin,
+                cout, stride, _CACHE[key])
+    return int(_CACHE[key])
+
+
+def _resolve_conv3_group(n: int, h: int, cin: int, cout: int, g0: int,
+                         stride: int) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    groups = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    chosen, fused, composed, xs = 0, None, None, None
+    for g in groups:
+        try:
+            fused, composed, xs = _conv3_fns(n, h, cin, cout, g, stride)
+            shape = jax.ShapeDtypeStruct((n, h, h, cin), jnp.float32)
+            fused.lower(shape).compile()
+            chosen = g
+            break
+        except Exception as exc:            # VMEM exhaustion at this group
+            logger.info("conv3 (%d,%dx%d,%d->%d,s%d) g=%d: %s", n, h, h,
+                        cin, cout, stride, g, str(exc)[:120])
+    if chosen == 0:
+        return 0
+    try:
+        with jax.ensure_compile_time_eval():
+            t_fused = _time_fn(fused, xs)
+            t_xla = _time_fn(composed, xs)
+    except Exception as exc:
+        logger.warning("conv3 autotune (%d,%d,%d,%d,s%d) failed: %s",
+                       n, h, cin, cout, stride, exc)
+        return 0
+    win = t_fused < t_xla
+    logger.info("conv3 autotune (%d,%dx%d,%d->%d,s%d) g=%d: fused %.3fms vs "
+                "xla %.3fms -> %s", n, h, h, cin, cout, stride, chosen,
+                t_fused * 1e3, t_xla * 1e3, "FUSED" if win else "XLA")
+    return chosen if win else 0
 
 
 def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
-                   prequant: bool = False):
+                   prequant: bool = False, stride: int = 1):
     """(fused, composed, example inputs) for the int8-conv shape probe."""
     import jax
     import jax.numpy as jnp
@@ -288,7 +322,7 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
     ascal = jnp.asarray([8.0 / 255.0, 128.0, 0.0], jnp.float32)
     kcfg = FusedConvConfig(act_method="int_asym", activation="relu",
                            mxu_dtype="int8", imgs_per_block=g,
-                           w_prequant=prequant)
+                           w_prequant=prequant, stride=stride)
     w_arg = (int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
              if prequant else w)
 
@@ -307,7 +341,7 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
         xq = (jnp.clip(jnp.round(x / ascal[0]) + ascal[1], 0, 255)
               - ascal[1]) * ascal[0]
         y = jax.lax.conv_general_dilated(
-            xq.astype(jnp.bfloat16), w_bf, (1, 1), ((1, 1), (1, 1)),
+            xq.astype(jnp.bfloat16), w_bf, (stride, stride), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         return jax.nn.relu(y)
@@ -316,7 +350,7 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
 
 
 def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
-                     prequant: bool = False) -> int:
+                     prequant: bool = False, stride: int = 1) -> int:
     """Group size for the native-int8 fused 3x3 conv, or 0 for "don't".
 
     The int8 kernel's VMEM envelope is much tighter than the bf16 one
@@ -331,15 +365,17 @@ def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
     if MODE == "never" or MODE == "heuristic":
         return 0
 
-    import jax
-    if jax.default_backend() == "cpu":
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
         return max(1, g0)    # interpret mode: no VMEM constraint
 
     if not _DISK_LOADED:
         _load_disk_cache()
-    key = ("igp" if prequant else "ig", n, h, cin, cout)
+    key = (("igp" if prequant else "ig") + ("2" if stride == 2 else ""),
+           n, h, cin, cout)
     if key not in _CACHE:
-        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0, prequant)
+        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0, prequant,
+                                          stride)
         _save_disk_cache()
     logger.info("conv3 int8 gate (%d,%dx%d,%d->%d) -> g=%d", n, h, h, cin,
                 cout, _CACHE[key])
@@ -347,7 +383,7 @@ def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
 
 
 def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
-                        prequant: bool = False) -> int:
+                        prequant: bool = False, stride: int = 1) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -356,7 +392,7 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
     for g in groups:
         try:
             fused, composed, xs = _int8_conv_fns(n, h, cin, cout, g,
-                                                 prequant)
+                                                 prequant, stride)
             shape = jax.ShapeDtypeStruct((n, h, h, cin), jnp.float32)
             fused.lower(shape).compile()
             chosen = g
@@ -369,22 +405,10 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
     if MODE == "always":
         return chosen
 
-    def _time(fn):
-        fn(xs[0]).block_until_ready()
-        iters, reps = 4, 3
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = fn(xs[i % len(xs)])
-            out.block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
     try:
         with jax.ensure_compile_time_eval():
-            t_fused = _time(fused)
-            t_xla = _time(composed)
+            t_fused = _time_fn(fused, xs)
+            t_xla = _time_fn(composed, xs)
     except Exception as exc:
         logger.warning("conv3 int8 autotune (%d,%d,%d,%d) failed: %s",
                        n, h, cin, cout, exc)

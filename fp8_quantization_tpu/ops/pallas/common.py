@@ -27,6 +27,23 @@ def use_interpret(explicit: bool) -> bool:
         return True
     if INTERPRET_OVERRIDE is not None:
         return INTERPRET_OVERRIDE
+    return on_cpu_backend()
+
+
+def on_cpu_backend() -> bool:
+    """Whether computations traced *now* will lower for the CPU backend.
+
+    Honors an active jax.default_device(cpu) scope (host-side bake /
+    deployment prepare, nn/bake.py): the computation lowers for CPU even
+    when the process default backend is a TPU, and jax.default_backend()
+    does not reflect the override from inside a jit trace.  Shared by the
+    kernels' interpret gating and the autotune gates so they can never
+    disagree about the target backend.
+    """
     import jax
 
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        platform = getattr(dd, "platform", dd)
+        return str(platform).startswith("cpu")
     return jax.default_backend() == "cpu"

@@ -17,7 +17,10 @@ fp8_quantizer.py:91-133, shared tile fns from qmatmul.py).
 Mosaic facts this design relies on (probe: tools/probe_mosaic_ops.py,
 compile-verified for v5e): offset slices along row/sublane dims lower;
 jnp.pad lowers; reshape-collapse before a 2D dot lowers; raw strided
-slices do NOT (stride-2 needs reshape-splits — not in v1).
+slices do NOT — stride-2 convs (cfg.stride=2, the ResNet downsample
+blocks) are evaluated by even/odd phase decomposition via reshape-splits
+(_phases_s2): the nine taps become offset slices of four half-resolution
+phase planes and the dot is identical to the stride-1 im2col form.
 
 Grid: one step per group of ``imgs_per_block`` images; everything for the
 group (padded input, weights, accumulator) lives in VMEM.  ResNet-18/50
@@ -50,6 +53,7 @@ class FusedConvConfig:
     emit_norm: bool = False        # emit normalized-grid bf16 (factored)
     imgs_per_block: int = 1
     im2col: bool = True            # one (M, 9*Cin) dot vs 9 per-tap dots
+    stride: int = 1                # 1, or 2 via even/odd phase decomposition
     # "int8": input-quant INT configs on the native s8 x s8 -> s32 MXU
     # datapath — int_asym input + int_sym weights quantized IN-KERNEL,
     # recentered by 128 with exact rowsum/colsum corrections (the conv
@@ -59,6 +63,44 @@ class FusedConvConfig:
     n_bits: int = 8                # weight quantizer bit-width (int8 path)
     w_prequant: bool = False       # int8 path: w arrives pre-quantized int8
                                    # on the recentered grid (nn/bake.py)
+
+
+def _phases_s2(x, pad_value=0.0):
+    """Even/odd phase tensors of ``x`` for a stride-2 3x3 SAME conv.
+
+    out[i, j] = sum_{dy,dx} w[dy, dx] * x[2i+dy-1, 2j+dx-1]: row index
+    parity depends only on dy (dy=1 -> even rows at phase row i; dy=0/2 ->
+    odd rows at phase rows i-1 / i), likewise columns on dx — so the nine
+    taps are offset slices of four half-resolution phase planes.  Built
+    with reshape-splits (Mosaic lowers those; strided slices fail —
+    tools/probe_mosaic_ops.py) and top/left padding only (SAME padding at
+    even H, W never touches the bottom/right pad row).
+
+    Returns (ee, eo_p, oe_p, oo_p): ee is (g, H/2, W/2, c); the others are
+    padded by one row/col of ``pad_value`` on the sides their shifted taps
+    reach (eo: left col; oe: top row; oo: both).
+    """
+    g, H, W, c = x.shape
+    Ho, Wo = H // 2, W // 2
+    xr = x.reshape(g, Ho, 2, W, c)
+    xe, xo = xr[:, :, 0], xr[:, :, 1]                    # (g, Ho, W, c)
+    split = lambda t: (t.reshape(g, Ho, Wo, 2, c)[:, :, :, 0],  # noqa: E731
+                       t.reshape(g, Ho, Wo, 2, c)[:, :, :, 1])
+    xee, xeo = split(xe)
+    xoe, xoo = split(xo)
+    pad = lambda t, r, co: jnp.pad(                       # noqa: E731
+        t, ((0, 0), (r, 0), (co, 0), (0, 0)), constant_values=pad_value)
+    return xee, pad(xeo, 0, 1), pad(xoe, 1, 0), pad(xoo, 1, 1)
+
+
+def _taps_s2(ee, eo_p, oe_p, oo_p):
+    """The nine (g, H/2, W/2, c) tap views in (dy, dx) row-major order —
+    matching w.reshape(9*cin, cout)'s tap blocks."""
+    Ho, Wo = ee.shape[1], ee.shape[2]
+    return [oo_p[:, 0:Ho, 0:Wo], oe_p[:, 0:Ho, :], oo_p[:, 0:Ho, 1:Wo + 1],
+            eo_p[:, :, 0:Wo], ee, eo_p[:, :, 1:Wo + 1],
+            oo_p[:, 1:Ho + 1, 0:Wo], oe_p[:, 1:Ho + 1, :],
+            oo_p[:, 1:Ho + 1, 1:Wo + 1]]
 
 
 def _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res):
@@ -100,30 +142,34 @@ def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
         residual_ref = None
     g, H, W, cin = x_ref.shape
     cout = w_ref.shape[-1]
-    m = g * H * W
+    Ho, Wo = H // cfg.stride, W // cfg.stride
+    m = g * Ho * Wo
 
-    x = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if cfg.stride == 2:
+        taps = _taps_s2(*_phases_s2(x_ref[:]))
+    else:
+        x = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [x[:, dy:dy + H, dx:dx + W, :]
+                for dy in range(3) for dx in range(3)]
     if cfg.im2col:
         # patches (m, 9*Cin): lane-dim concat of the 9 shifted views; one
         # K=9*Cin dot fills the MXU far better than Cin-deep taps.
-        cols = [x[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
-                for dy in range(3) for dx in range(3)]
-        patches = jnp.concatenate(cols, axis=1)
+        patches = jnp.concatenate([t.reshape(m, cin) for t in taps], axis=1)
         wm = w_ref[:].reshape(9 * cin, cout)
         acc = jax.lax.dot_general(
             patches, wm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     else:
         acc = jnp.zeros((m, cout), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                xs = x[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
-                acc = acc + jax.lax.dot_general(
-                    xs, w_ref[dy, dx, :, :], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        for i, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                     for dx in range(3)):
+            acc = acc + jax.lax.dot_general(
+                taps[i].reshape(m, cin), w_ref[dy, dx, :, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
-    y = acc_ref[:].reshape(g, H, W, cout)
+    y = acc_ref[:].reshape(g, Ho, Wo, cout)
     res = residual_ref[:] if cfg.residual else None
     y = _conv_epilogue(y, cfg, as_ref, scale_ref, shift_ref, res)
     out_ref[:] = y.astype(out_ref.dtype)
@@ -144,7 +190,8 @@ def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
     """
     g, H, W, cin = x_ref.shape
     cout = w_ref.shape[-1]
-    m = g * H * W
+    Ho, Wo = H // cfg.stride, W // cfg.stride
+    m = g * Ho * Wo
     k9 = 9.0 * cin
 
     # Quantize the input to int8 BEFORE gathering taps: every f32
@@ -156,9 +203,19 @@ def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
     zp = jnp.clip(jnp.round(as_ref[0, 1]), 0.0, 2.0 ** a_bits - 1.0)
     xint = jnp.clip(jnp.round(x_ref[:].astype(jnp.float32) / delta_x) + zp,
                     0.0, 2.0 ** a_bits - 1.0)
-    xs_f = jnp.pad(xint - 128.0, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                   constant_values=zp - 128.0)
-    xs = xs_f.astype(jnp.int8)
+    # padding holds xs = zp-128 (real-domain zero): padded taps contribute
+    # exactly zero to the true sum, so the recenter identity holds per
+    # element at either stride
+    if cfg.stride == 2:
+        phases_f = _phases_s2(xint - 128.0, pad_value=zp - 128.0)
+        # cast each phase plane to int8 ONCE and slice taps from the int8
+        # planes (stride-1's cast-then-slice order): 4 converts instead of
+        # 9, and the f32 phase temporaries die before the im2col concat
+        taps_i8 = _taps_s2(*[p.astype(jnp.int8) for p in phases_f])
+    else:
+        xs_f = jnp.pad(xint - 128.0, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                       constant_values=zp - 128.0)
+        xs = xs_f.astype(jnp.int8)
 
     signed = ws_ref[0, 1]
     s_w = 128.0 * (1.0 - signed)
@@ -173,22 +230,31 @@ def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
         wm = wsg_f.astype(jnp.int8).reshape(9 * cin, cout)
         colsum = jnp.sum(wsg_f, axis=(0, 1, 2)).reshape(1, cout)
 
-    cols = [xs[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
-            for dy in range(3) for dx in range(3)]
+    if cfg.stride == 2:
+        cols = [t.reshape(m, cin) for t in taps_i8]
+    else:
+        cols = [xs[:, dy:dy + H, dx:dx + W, :].reshape(m, cin)
+                for dy in range(3) for dx in range(3)]
     patches = jnp.concatenate(cols, axis=1)                   # (m, 9cin) s8
     acc_ref[:] = jax.lax.dot_general(
         patches, wm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
 
     # rowsum(patches) per output pixel == 3x3 window-sum of the per-pixel
-    # channel sums (keepdims 4D so tap shifts stay in sublane dims)
-    chan = jnp.sum(xs_f, axis=-1, keepdims=True)        # (g, H+2, W+2, 1)
-    rowsum = sum(chan[:, dy:dy + H, dx:dx + W, :]
-                 for dy in range(3) for dx in range(3))       # (g,H,W,1)
+    # channel sums (keepdims 4D so tap shifts stay in sublane dims); for
+    # stride 2 the channel-sums are taken on the PADDED phase planes so
+    # the rowsum taps see the same zp-128 padding the int8 taps do
+    if cfg.stride == 2:
+        chans = [jnp.sum(p, axis=-1, keepdims=True) for p in phases_f]
+        rowsum = sum(t for t in _taps_s2(*chans))         # (g, Ho, Wo, 1)
+    else:
+        chan = jnp.sum(xs_f, axis=-1, keepdims=True)    # (g, H+2, W+2, 1)
+        rowsum = sum(chan[:, dy:dy + H, dx:dx + W, :]
+                     for dy in range(3) for dx in range(3))   # (g,H,W,1)
     corr = (s_w * rowsum.reshape(m, 1) + (128.0 - zp) * colsum
             + k9 * (128.0 - zp) * s_w)
     y = (acc_ref[:].astype(jnp.float32) + corr) * (delta_x * delta_w)
-    y = y.reshape(g, H, W, cout)
+    y = y.reshape(g, Ho, Wo, cout)
     y = y * scale_ref[0, 0, 0, :] + shift_ref[0, 0, 0, :]
     if cfg.activation == "relu":
         y = jnp.maximum(y, 0.0)
@@ -226,6 +292,12 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
     assert w.shape[:3] == (3, 3, cin), (x.shape, w.shape)
     cout = w.shape[-1]
     assert cfg.residual == (residual is not None)
+    assert cfg.stride in (1, 2), cfg.stride
+    if cfg.stride == 2:
+        # phase decomposition needs whole phase planes (and SAME padding
+        # at even H never reaches the bottom/right pad row)
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+    Ho, Wo = H // cfg.stride, W // cfg.stride
     int8_path = cfg.mxu_dtype == "int8"
     if int8_path:
         assert (cfg.act_method == "int_asym" and not cfg.emit_norm
@@ -258,12 +330,13 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
     a_spec = pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
     c_spec = pl.BlockSpec((1, 1, 1, cout), lambda i: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+    out_spec = pl.BlockSpec((g, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
-        flops=2 * n * H * W * 9 * cin * cout,
-        bytes_accessed=2 * (n * H * W * (cin + cout)) + 2 * 9 * cin * cout,
-        transcendentals=n * H * W * cout)
+        flops=2 * n * Ho * Wo * 9 * cin * cout,
+        bytes_accessed=2 * n * (H * W * cin + Ho * Wo * cout)
+        + 2 * 9 * cin * cout,
+        transcendentals=n * Ho * Wo * cout)
 
     if int8_path:
         out = pl.pallas_call(
@@ -274,8 +347,8 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
                                    memory_space=pltpu.SMEM),
                       a_spec, c_spec, c_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n, H, W, cout), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.int32)],
+            out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, cout), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((g * Ho * Wo, cout), jnp.int32)],
             cost_estimate=cost,
             interpret=interpret,
         )(x.astype(jnp.float32),
@@ -290,7 +363,7 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
     in_specs = [x_spec, w_spec, a_spec, c_spec, c_spec]
     args = [xp, wb, ascal, sc, sh]
     if cfg.residual:
-        in_specs.append(pl.BlockSpec((g, H, W, cout), lambda i: (i, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((g, Ho, Wo, cout), lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(residual.astype(jnp.bfloat16 if cfg.emit_norm
                                     else jnp.float32))
@@ -300,8 +373,8 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, H, W, cout), out_dtype),
-        scratch_shapes=[pltpu.VMEM((g * H * W, cout), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((g * Ho * Wo, cout), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
     )(*args)

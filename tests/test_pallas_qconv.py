@@ -100,7 +100,7 @@ def test_conv3x3_imgs_per_block_grouping():
 def test_quantconv_3x3_deployment_path_matches_bf16_engine():
     """End-to-end through QuantConv: baked deployment forward with
     engine='pallas' routes 3x3 stride-1 convs through the fused kernel
-    (autotune conv3_wins is always-on under CPU) and matches the bf16
+    (autotune conv3_group is always-on under CPU) and matches the bf16
     engine's composed path."""
     import dataclasses
 
@@ -285,3 +285,151 @@ def test_quantlinear_baked_int8_matches_in_kernel():
     assert "baked_int8" in baked, baked.keys()
     out = lin.apply(baked, x, mode="fixed")
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("im2col", [True, False], ids=["im2col", "taps"])
+def test_conv3x3_stride2_phase_decomposition(im2col):
+    """stride=2 (ResNet downsample conv1): even/odd phase decomposition
+    must equal the XLA stride-2 SAME conv, epilogue and out-quant included."""
+    x, w, scale, shift = _data(21)
+    yf = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16).astype(jnp.float32),
+        w.astype(jnp.bfloat16).astype(jnp.float32), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(yf * scale + shift, 0.0)
+    spec, state = _fp8_out_state(y)
+    ref = q.apply(spec, state, y)
+
+    cfg = FusedConvConfig(act_method="fp8", activation="relu", stride=2,
+                          im2col=im2col, imgs_per_block=2)
+    out = fused_quant_conv3x3(
+        x, w,
+        jnp.asarray([state["maxval"], state["mantissa_bits"],
+                     state["sign_bits"]]),
+        scale, shift, cfg=cfg, interpret=True)
+    assert out.shape == (N, H // 2, W // 2, COUT)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
+
+
+def test_conv3x3_stride2_int8_native_datapath():
+    """stride=2 on the native-int8 path: phase decomposition with zp-128
+    padding keeps the recenter identity exact."""
+    x, w, scale, shift = _data(23)
+    wspec = QuantizerSpec(method=QMethod.symmetric_uniform, per_channel=True)
+    wstate = q.init_state(wspec, COUT)
+    wmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    wstate = q.set_quant_range(wspec, wstate, -wmax, wmax)
+    wq = q.apply(wspec, wstate, w, channel_axis=-1)
+
+    aspec = QuantizerSpec(method=QMethod.asymmetric_uniform)
+    astate = q.set_quant_range(aspec, q.init_state(aspec),
+                               jnp.min(x), jnp.max(x))
+    xq = q.apply(aspec, astate, x)
+
+    ref = jnp.maximum(jax.lax.conv_general_dilated(
+        xq, wq, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) * scale + shift, 0.0)
+
+    cfg = FusedConvConfig(act_method="int_asym", activation="relu",
+                          mxu_dtype="int8", imgs_per_block=2, stride=2)
+    out = fused_quant_conv3x3(
+        x, w,
+        jnp.asarray([astate["delta"], astate["zero_float"], 0.0]),
+        scale, shift,
+        weight_channel_param=wstate["delta"],
+        weight_scalars=jnp.asarray([0.0, wstate["signed"]], jnp.float32),
+        cfg=cfg, interpret=True)
+    assert out.shape == (N, H // 2, W // 2, COUT)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_quantconv_stride2_routes_through_fused_kernel():
+    """End-to-end: a baked 3x3 stride-2 QuantConv under engine='pallas'
+    fires the fused kernel (spied) and matches the bf16 engine's composed
+    stride-2 path."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.factored import materialize
+    from fp8_quantization_tpu.nn.layers import QuantConv
+    import fp8_quantization_tpu.ops.pallas.qconv as qc
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax", engine="bf16")
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    conv = QuantConv(features=8, kernel_size=(3, 3), strides=(2, 2),
+                     padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                     config=cfg)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv, variables, [x])
+    dvars = prepare_for_deployment(conv, variables, x)
+    ref = jax.jit(lambda v, xx: materialize(conv.apply(
+        v, xx, mode="fixed", quant_w=False, out="factored")))(dvars, x)
+
+    calls = []
+    orig = qc.fused_quant_conv3x3
+
+    def spy(*a, **k):
+        calls.append(k["cfg"].stride)
+        return orig(*a, **k)
+
+    conv_k = QuantConv(features=8, kernel_size=(3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), bn=True, activation="relu",
+                       config=dataclasses.replace(cfg, engine="pallas"))
+    qc.fused_quant_conv3x3 = spy
+    try:
+        out = materialize(conv_k.apply(dvars, x, mode="fixed", quant_w=False,
+                                       out="factored"))
+    finally:
+        qc.fused_quant_conv3x3 = orig
+    assert calls == [2], calls
+    assert out.shape == (2, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
+
+
+def test_quantconv_1x1_stride2_phase_slice():
+    """1x1 stride-2 (ResNet downsample shortcut): the pallas engine slices
+    the even/even phase and runs the fused matmul; matches the bf16
+    engine's XLA stride-2 conv."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.layers import QuantConv
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax", engine="bf16")
+    rng = np.random.RandomState(37)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+
+    conv = QuantConv(features=8, kernel_size=(1, 1), strides=(2, 2),
+                     padding="VALID", bn=True, config=cfg)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv, variables, [x])
+    ref = jax.jit(lambda v, xx: conv.apply(v, xx, mode="fixed"))(variables, x)
+
+    conv_k = QuantConv(features=8, kernel_size=(1, 1), strides=(2, 2),
+                       padding="VALID", bn=True,
+                       config=dataclasses.replace(cfg, engine="pallas"))
+    out = jax.jit(lambda v, xx: conv_k.apply(v, xx, mode="fixed"))(
+        variables, x)
+    assert out.shape == (2, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
