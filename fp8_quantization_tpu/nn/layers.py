@@ -534,6 +534,84 @@ class QuantizedLayerBase(nn.Module):
             factor = a_scalars[0]
         return Factored(y, factor)
 
+    def _pallas_dwconv3x3(self, x, kernel, features, mode, quant_a, bn,
+                          bn_eps, use_bias, shift_override=None,
+                          x_factor=None, out: str = "value", stride: int = 1,
+                          group: int = 1):
+        """Fused depthwise 3x3 conv (ops/pallas/qconv.fused_quant_dwconv3x3),
+        deployment path: baked normalized weights (per-channel w_factor
+        folds into the epilogue scale — output channel c touches only input
+        channel c), folded BN/bias, relu6, output quant in-kernel."""
+        from fp8_quantization_tpu.ops.pallas.qconv import (
+            FusedConvConfig, fused_quant_dwconv3x3)
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+
+        cfg = self.config
+        if x.dtype.itemsize == 1:       # f8-stored factored input
+            x = x.astype(jnp.bfloat16)
+
+        a_method = "none"
+        a_scalars = jnp.zeros((3,), jnp.float32)
+        if quant_a and cfg.quant_a:
+            _, astate = self._act_quantizer()(
+                x.reshape(-1, x.shape[-1]), mode=mode, out="state")
+            if cfg.act_quant.method == QMethod.fp_quantizer:
+                a_method = "fp8"
+                a_scalars = jnp.stack([
+                    astate["maxval"].reshape(()),
+                    astate["mantissa_bits"].astype(jnp.float32),
+                    astate["sign_bits"].astype(jnp.float32)])
+            else:
+                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+                a_method = "int_asym"
+                a_scalars = jnp.stack([
+                    _scale_from_delta(astate["delta"].reshape(()),
+                                      cfg.act_quant.scale_domain,
+                                      cfg.act_quant.eps),
+                    astate["zero_float"].reshape(()),
+                    jnp.asarray(0.0, jnp.float32)])
+
+        scale = jnp.ones((features,), jnp.float32)
+        shift = jnp.zeros((features,), jnp.float32)
+        if shift_override is not None:
+            shift = shift_override
+        elif bn:
+            gamma = self.param("gamma", nn.initializers.ones,
+                               (features,), jnp.float32)
+            beta = self.param("beta", nn.initializers.zeros,
+                              (features,), jnp.float32)
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros(features, jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones(features, jnp.float32))
+            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
+            scale, shift = inv, beta - ra_mean.value * inv
+        elif use_bias:
+            shift = self.param("bias", nn.initializers.zeros,
+                               (features,), jnp.float32)
+
+        if x_factor is not None:
+            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
+        scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+
+        emit_norm = (out == "factored" and a_method != "none"
+                     and _factored_act_ok(cfg))
+        kcfg = FusedConvConfig(
+            act_method=a_method, act_n_bits=cfg.act_quant.n_bits,
+            activation=self.activation, emit_norm=emit_norm, stride=stride,
+            imgs_per_block=group)
+        y = fused_quant_dwconv3x3(x, kernel.reshape(3, 3, features),
+                                  a_scalars, scale, shift, cfg=kcfg)
+        if not emit_norm:
+            return y
+        if a_method == "fp8":
+            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
+                          cfg.act_quant.n_bits - a_scalars[2])
+            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
+        else:
+            factor = a_scalars[0]
+        return Factored(y, factor)
+
     def _pallas_conv3x3_int8(self, x, kernel, features, mode, bn, bn_eps,
                              use_bias, shift_override=None, group=1,
                              prequant=False, stride: int = 1):
@@ -785,6 +863,35 @@ class QuantConv(QuantizedLayerBase):
                             self.use_bias, shift_override=folded_shift,
                             x_factor=x_factor_in, out=out, stride=stride,
                             group=gb)
+
+        # fused depthwise 3x3 (MobileNetV2's dw stage): 9-tap VPU stencil +
+        # folded BN + relu6 + out-quant in one kernel — collapses the
+        # composed path's multiple HBM round trips.  Deployment (baked
+        # weights) only; gated by on-device measurement (autotune.dw_group).
+        if (self._pallas_supported(mode, train_bn)
+                and self.kernel_size == (3, 3)
+                and self.feature_group_count == in_features
+                and self.features == in_features
+                and in_features >= 32   # lane packing; measurement decides
+                and self.padding == ((1, 1), (1, 1))
+                and (self.strides == (1, 1)
+                     or (self.strides == (2, 2) and x.shape[1] % 2 == 0
+                         and x.shape[2] % 2 == 0))
+                and not (quant_w and self.config.quant_w)
+                and self.has_variable("baked", "w_factor")
+                and not self.config.quantize_input):
+            from fp8_quantization_tpu.ops.pallas.autotune import dw_group
+            n, h, w_, _ = x.shape
+            stride = self.strides[0]
+            gd = dw_group(n, h, in_features,
+                          self._conv3_group(n, h // stride, w_ // stride),
+                          stride=stride)
+            if gd:
+                return self._pallas_dwconv3x3(
+                    x, kernel, self.features, mode, quant_a,
+                    self.bn and folded_shift is None, self.bn_eps,
+                    self.use_bias, shift_override=folded_shift,
+                    x_factor=x_factor_in, out=out, stride=stride, group=gd)
 
         if x_factor_in is None:
             x, x_factor = self._quant_in_engine(x, mode, quant_a)

@@ -56,7 +56,7 @@ def _load_disk_cache() -> None:
                 dims = tuple(int(v) for v in parts[-1].split("x"))
                 tag = parts[0] if len(parts) > 1 else ""
                 # matmul entries are bools; conv tags hold group ints
-                val = (int(win) if tag.startswith(("ig", "c"))
+                val = (int(win) if tag.startswith(("ig", "c", "d"))
                        else bool(win))
                 _CACHE.setdefault((tag,) + dims if tag else dims, val)
     except (OSError, ValueError):
@@ -417,3 +417,105 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
                 "vs xla %.3fms", n, h, h, cin, cout, chosen, t_fused * 1e3,
                 t_xla * 1e3)
     return chosen if t_fused < t_xla else 0
+
+
+def _dw_fns(n: int, h: int, c: int, g: int, stride: int = 1):
+    """(fused, composed, example inputs) for the depthwise-conv probe
+    (deployment semantics: baked bf16 weights, folded BN scale/shift,
+    relu6, fp8 output quant — MobileNetV2's hot configuration)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+    from fp8_quantization_tpu.ops.pallas.qconv import (
+        FusedConvConfig, fused_quant_dwconv3x3)
+
+    rng = np.random.RandomState((h + c) % 9973)
+    xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, c)), jnp.float32)
+          for _ in range(2)]
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, c)), jnp.float32)
+    w = w.astype(jnp.bfloat16).astype(jnp.float32)
+    scale = jnp.ones((c,), jnp.float32)
+    shift = jnp.zeros((c,), jnp.float32)
+    ascal = jnp.asarray([6.0, 4.0, 1.0], jnp.float32)
+    kcfg = FusedConvConfig(act_method="fp8", activation="relu6",
+                           imgs_per_block=g, stride=stride)
+
+    @jax.jit
+    def fused(x):
+        return fused_quant_dwconv3x3(x, w, ascal, scale, shift, cfg=kcfg)
+
+    w_hwio = w.reshape(3, 3, 1, c).astype(jnp.bfloat16)
+
+    @jax.jit
+    def composed(x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w_hwio, (stride, stride),
+            ((1, 1), (1, 1)), feature_group_count=c,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return quantize_to_fp8(jnp.clip(y, 0.0, 6.0), jnp.asarray(6.0), 4.0)
+
+    return fused, composed, xs
+
+
+def dw_group(n: int, h: int, c: int, g0: int, stride: int = 1) -> int:
+    """Group size for the fused depthwise 3x3 conv, or 0 for XLA.
+
+    Same resolve-then-measure protocol as conv3_group (cache tags 'd' /
+    'd2').  The depthwise stencil is VPU/HBM work — the fused kernel wins
+    by collapsing the conv + BN + relu6 + out-quant HBM round trips, which
+    only measurement can confirm per shape.
+    """
+    if MODE == "always":
+        return max(1, g0)
+    if MODE == "never" or MODE == "heuristic":
+        return 0
+
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
+        return max(1, g0)
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = ("d" if stride == 1 else "d2", n, h, c)
+    if key not in _CACHE:
+        _CACHE[key] = _resolve_dw_group(n, h, c, g0, stride)
+        _save_disk_cache()
+    logger.info("dw gate (%d,%dx%d,%d,s%d) -> g=%d", n, h, h, c, stride,
+                _CACHE[key])
+    return int(_CACHE[key])
+
+
+def _resolve_dw_group(n: int, h: int, c: int, g0: int, stride: int) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    groups = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    chosen, fused, composed, xs = 0, None, None, None
+    for g in groups:
+        try:
+            fused, composed, xs = _dw_fns(n, h, c, g, stride)
+            shape = jax.ShapeDtypeStruct((n, h, h, c), jnp.float32)
+            fused.lower(shape).compile()
+            chosen = g
+            break
+        except Exception as exc:
+            logger.info("dw (%d,%dx%d,%d,s%d) g=%d: %s", n, h, h, c, stride,
+                        g, str(exc)[:120])
+    if chosen == 0:
+        return 0
+    try:
+        with jax.ensure_compile_time_eval():
+            t_fused = _time_fn(fused, xs)
+            t_xla = _time_fn(composed, xs)
+    except Exception as exc:
+        logger.warning("dw autotune (%d,%d,%d,s%d) failed: %s", n, h, c,
+                       stride, exc)
+        return 0
+    win = t_fused < t_xla
+    logger.info("dw autotune (%d,%dx%d,%d,s%d) g=%d: fused %.3fms vs xla "
+                "%.3fms -> %s", n, h, h, c, stride, chosen, t_fused * 1e3,
+                t_xla * 1e3, "FUSED" if win else "XLA")
+    return chosen if win else 0

@@ -175,6 +175,100 @@ def _qconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, *rest,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _qdwconv3x3_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref,
+                       *, cfg: FusedConvConfig):
+    """Depthwise 3x3 step: 9-tap VPU stencil + the shared epilogue.
+
+    MobileNetV2's depthwise convs are VPU work (per-channel stencils, no
+    MXU contraction); the win of fusing is HBM traffic — the composed XLA
+    path reads/writes the activation around the conv, the BN/relu6 chain
+    and the output fake-quant separately, while this kernel reads x once
+    and writes the quantized output once.  Probe fact: the 9-tap shifted
+    multiply-add lowers on Mosaic (tools/probe_mosaic_ops.py
+    dw3x3_stride1_9tap); stride 2 rides the same phase decomposition as
+    the dense kernel.
+    """
+    g, H, W, c = x_ref.shape
+    if cfg.stride == 2:
+        taps = _taps_s2(*_phases_s2(x_ref[:]))
+    else:
+        x = jnp.pad(x_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [x[:, dy:dy + H, dx:dx + W, :]
+                for dy in range(3) for dx in range(3)]
+    acc = None
+    for i, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                 for dx in range(3)):
+        term = taps[i].astype(jnp.float32) * w_ref[dy, dx, :]
+        acc = term if acc is None else acc + term
+    y = _conv_epilogue(acc, cfg, as_ref, scale_ref, shift_ref, None)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def fused_quant_dwconv3x3(x: jax.Array, w: jax.Array,
+                          act_scalars: jax.Array,
+                          scale: jax.Array, shift: jax.Array,
+                          *, cfg: FusedConvConfig,
+                          interpret: bool = False) -> jax.Array:
+    """y = out_quant(act(dwconv3x3(x, w) * scale + shift)).
+
+    Args:
+      x: (N, H, W, C) input norms (bf16-exact grid values, deployment) or
+        plain activations; SAME padding, stride cfg.stride.
+      w: (3, 3, C) baked normalized depthwise weights.
+      act_scalars / scale / shift: as fused_quant_conv3x3 (depthwise
+        w_factor is per-channel but commutes — output channel c touches
+        only input channel c).
+    """
+    n, H, W, c = x.shape
+    assert w.shape == (3, 3, c), (x.shape, w.shape)
+    assert cfg.stride in (1, 2), cfg.stride
+    if cfg.stride == 2:
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+    assert not cfg.residual and cfg.mxu_dtype != "int8"
+    Ho, Wo = H // cfg.stride, W // cfg.stride
+    g = min(cfg.imgs_per_block, n)
+    while n % g:
+        g -= 1
+
+    from fp8_quantization_tpu.ops.pallas.common import use_interpret
+    interpret = use_interpret(interpret)
+    out_dtype = jnp.bfloat16 if cfg.emit_norm else jnp.float32
+
+    ascal = act_scalars.reshape(1, 3).astype(jnp.float32)
+    if cfg.act_method == "fp8":
+        ascal = ascal.at[0, 0].set(jnp.maximum(ascal[0, 0], 1e-30))
+        mb = jnp.clip(jnp.round(ascal[0, 1]), 1.0,
+                      cfg.act_n_bits - ascal[0, 2])
+        ascal = ascal.at[0, 1].set(mb)
+    sc = scale.reshape(1, 1, 1, c).astype(jnp.float32)
+    sh = shift.reshape(1, 1, 1, c).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_qdwconv3x3_kernel, cfg=cfg),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, H, W, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, Ho, Wo, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, c), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * n * Ho * Wo * c,
+            bytes_accessed=2 * n * (H * W + Ho * Wo) * c + 4 * 9 * c,
+            transcendentals=n * Ho * Wo * c),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w.astype(jnp.float32), ascal, sc, sh)
+    return out
+
+
 def _qconv3x3_int8_kernel(x_ref, w_ref, wq_ref, ws_ref, as_ref, scale_ref,
                           shift_ref, out_ref, acc_ref, *,
                           cfg: FusedConvConfig):

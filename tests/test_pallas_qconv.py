@@ -433,3 +433,95 @@ def test_quantconv_1x1_stride2_phase_slice():
     assert out.shape == (2, 4, 4, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("stride", [1, 2], ids=["s1", "s2"])
+def test_dwconv3x3_fused_matches_xla(stride):
+    """Depthwise 3x3 (MobileNetV2): 9-tap stencil + folded BN + relu6 +
+    fp8 out-quant equals the composed XLA depthwise conv + quant chain."""
+    C = 32
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, C)), jnp.float32)
+    # baked deployment weights are bf16-exact; round here so the composed
+    # oracle multiplies the same values the kernel does
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, C)),
+                    jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+    shift = jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32)
+
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16).astype(jnp.float32),
+        w.reshape(3, 3, 1, C).astype(jnp.bfloat16).astype(jnp.float32),
+        (stride, stride), ((1, 1), (1, 1)), feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.clip(y * scale + shift, 0.0, 6.0)
+    spec, state = _fp8_out_state(y)
+    ref = q.apply(spec, state, y)
+
+    from fp8_quantization_tpu.ops.pallas.qconv import fused_quant_dwconv3x3
+    cfg = FusedConvConfig(act_method="fp8", activation="relu6",
+                          stride=stride, imgs_per_block=2)
+    out = fused_quant_dwconv3x3(
+        x, w,
+        jnp.asarray([state["maxval"], state["mantissa_bits"],
+                     state["sign_bits"]]),
+        scale, shift, cfg=cfg, interpret=True)
+    assert out.shape == (2, 8 // stride, 8 // stride, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
+
+
+@pytest.mark.parametrize("stride", [1, 2], ids=["s1", "s2"])
+def test_quantconv_depthwise_routes_through_fused_kernel(stride):
+    """End-to-end: a baked depthwise QuantConv under engine='pallas' fires
+    the fused dw kernel (spied) and matches the bf16 engine's composed
+    path, factored output included."""
+    import dataclasses
+
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.factored import materialize
+    from fp8_quantization_tpu.nn.layers import QuantConv
+    import fp8_quantization_tpu.ops.pallas.qconv as qc
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
+        fp8_set_maxval=True, weight_range_method="current_minmax",
+        act_range_method="allminmax", engine="bf16")
+    C = 32
+    rng = np.random.RandomState(43)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, C)), jnp.float32)
+
+    kw = dict(features=C, kernel_size=(3, 3), strides=(stride, stride),
+              padding=((1, 1), (1, 1)), feature_group_count=C, bn=True,
+              activation="relu6")
+    conv = QuantConv(config=cfg, **kw)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    variables = calibrate(conv, variables, [x])
+    dvars = prepare_for_deployment(conv, variables, x)
+    ref = jax.jit(lambda v, xx: materialize(conv.apply(
+        v, xx, mode="fixed", quant_w=False, out="factored")))(dvars, x)
+
+    calls = []
+    orig = qc.fused_quant_dwconv3x3
+
+    def spy(*a, **k):
+        calls.append(k["cfg"].stride)
+        return orig(*a, **k)
+
+    conv_k = QuantConv(config=dataclasses.replace(cfg, engine="pallas"), **kw)
+    qc.fused_quant_dwconv3x3 = spy
+    try:
+        out = materialize(conv_k.apply(dvars, x, mode="fixed", quant_w=False,
+                                       out="factored"))
+    finally:
+        qc.fused_quant_dwconv3x3 = orig
+    assert calls == [stride], calls
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+    exact = np.isclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    assert exact.mean() > 0.98, exact.mean()
