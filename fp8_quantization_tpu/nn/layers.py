@@ -446,9 +446,13 @@ class QuantizedLayerBase(nn.Module):
 
 
     def _conv3_group(self, n, h, w):
-        """Images per kernel grid step: target M = g*H*W ~ 2-3k rows so the
-        MXU stays fed while VMEM (input + acc + weights) stays under budget."""
-        g = max(1, 2048 // max(1, h * w))
+        """Images per kernel grid step: target M = g*H*W ~ 6k rows — large
+        enough to amortize the epilogue and weight DMA per grid step, sized
+        for the kernels' explicit 96 MiB scoped-VMEM limit (common.py).
+        This is only the STARTING point: the autotune gate walks divisors
+        of n downward until the kernel actually compiles, then (auto mode)
+        keeps it only if it beats XLA."""
+        g = max(1, 6144 // max(1, h * w))
         while g > 1 and n % g:
             g -= 1
         return g

@@ -16,6 +16,25 @@ from typing import Optional
 
 INTERPRET_OVERRIDE: Optional[bool] = None
 
+# Mosaic's default *scoped* VMEM limit is 16 MiB — sized to leave room for
+# XLA's own prefetch buffers, not for kernels whose blocks were already
+# chosen to fill VMEM (a v5e core carries 128 MiB).  The fused kernels set
+# an explicit higher limit; the autotune compile-probes use a STRICTER one,
+# because the same kernel embedded in a full model can need slightly more
+# stack than it does standalone (operand-layout copies at the custom-call
+# boundary — observed +8% at ResNet block shapes), and a group that probes
+# clean must never fail the model compile.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+PROBE_VMEM_LIMIT_BYTES = 80 * 1024 * 1024
+
+
+def tpu_compiler_params(vmem_limit: Optional[int] = None):
+    """Mosaic compiler params for the fused kernels' pallas_calls."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit or VMEM_LIMIT_BYTES)
+
 
 def use_interpret(explicit: bool) -> bool:
     """Resolve a kernel's interpret flag.

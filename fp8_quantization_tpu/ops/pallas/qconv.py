@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fp8_quantization_tpu.ops.pallas.common import tpu_compiler_params
 from fp8_quantization_tpu.ops.pallas.qmatmul import (
     _fp8_quantize_tile, _int_asym_quantize_tile)
 
@@ -63,6 +64,10 @@ class FusedConvConfig:
     n_bits: int = 8                # weight quantizer bit-width (int8 path)
     w_prequant: bool = False       # int8 path: w arrives pre-quantized int8
                                    # on the recentered grid (nn/bake.py)
+    vmem_limit: Optional[int] = None   # scoped-VMEM ceiling for Mosaic;
+                                   # None -> common.VMEM_LIMIT_BYTES (the
+                                   # autotune probes pass the stricter
+                                   # PROBE_VMEM_LIMIT_BYTES)
 
 
 def _phases_s2(x, pad_value=0.0):
@@ -264,6 +269,7 @@ def fused_quant_dwconv3x3(x: jax.Array, w: jax.Array,
             flops=18 * n * Ho * Wo * c,
             bytes_accessed=2 * n * (H * W + Ho * Wo) * c + 4 * 9 * c,
             transcendentals=n * Ho * Wo * c),
+        compiler_params=tpu_compiler_params(cfg.vmem_limit),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), w.astype(jnp.float32), ascal, sc, sh)
     return out
@@ -444,6 +450,7 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
             out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, cout), jnp.float32),
             scratch_shapes=[pltpu.VMEM((g * Ho * Wo, cout), jnp.int32)],
             cost_estimate=cost,
+            compiler_params=tpu_compiler_params(cfg.vmem_limit),
             interpret=interpret,
         )(x.astype(jnp.float32),
           w if cfg.w_prequant else w.astype(jnp.float32),
@@ -470,6 +477,7 @@ def fused_quant_conv3x3(x: jax.Array, w: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n, Ho, Wo, cout), out_dtype),
         scratch_shapes=[pltpu.VMEM((g * Ho * Wo, cout), jnp.float32)],
         cost_estimate=cost,
+        compiler_params=tpu_compiler_params(cfg.vmem_limit),
         interpret=interpret,
     )(*args)
     return out

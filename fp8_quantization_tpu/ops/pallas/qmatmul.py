@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fp8_quantization_tpu.ops.pallas.common import tpu_compiler_params
+
 
 @dataclasses.dataclass(frozen=True)
 class FusedQuantMatmulConfig:
@@ -63,6 +65,8 @@ class FusedQuantMatmulConfig:
                                         # (nn/bake.bake_int8_weights) — the
                                         # in-kernel weight round/clip chain
                                         # is skipped entirely
+    vmem_limit: Optional[int] = None    # scoped-VMEM ceiling for Mosaic;
+                                        # None -> common.VMEM_LIMIT_BYTES
 
 
 def _fp8_quantize_tile(x, maxval, mbits, sign_bits, normalized=False,
@@ -410,6 +414,7 @@ def fused_quant_matmul(x: jax.Array, w: jax.Array,
             bytes_accessed=4 * (Mp * Kp + Kp * Np + Mp * Np),
             transcendentals=Kp * Np + (Mp * Kp if cfg.quantize_input
                                        else Mp * Np)),
+        compiler_params=tpu_compiler_params(cfg.vmem_limit),
         interpret=interpret,
     )(xp, wp, wc, ws, ascal, sc, sh)
     return out[:M, :N]
