@@ -17,6 +17,7 @@ meaningless.
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import logging
 import os
@@ -32,16 +33,35 @@ MODE = os.environ.get("FP8TPU_PALLAS_AUTOTUNE", "auto")
 _CACHE: Dict[Tuple[int, int, int], bool] = {}
 # v2: conv tags ('c', 'c2', 'ig*') hold the chosen group size (0 = XLA)
 _CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE",
-                             "/tmp/fp8tpu_autotune_v3.json")
+                             "/tmp/fp8tpu_autotune_v4.json")
 # v3: kernels compile under an explicit 96 MiB scoped-VMEM limit (probes at
 # 80 MiB) — v2 entries were measured under Mosaic's 16 MiB default and both
 # the winning groups and the fused-vs-XLA verdicts can differ.
+# v4: v3 "measurements" taken inside a model trace were all failure
+# fallbacks (probe constants became ambient tracers); the probes now run
+# entirely under ensure_compile_time_eval, so v3 verdicts are invalid.
 _DISK_LOADED = False
 
 
 def decisions() -> Dict[Tuple[int, int, int], bool]:
     """The in-process decision log: {(M, K, N): fused?}."""
     return dict(_CACHE)
+
+
+def _off_trace(fn, *args):
+    """Run ``fn`` on a fresh thread and return its result.
+
+    The gates fire while the USER'S model is being traced.  JAX trace
+    contexts are thread-local, so a worker thread sees no ambient trace:
+    the probe's arrays are concrete, its jits actually execute on the
+    device, and timing is real.  (In-trace alternatives fail structurally:
+    ensure_compile_time_eval inlines jits and eval-interprets primitive by
+    primitive, and pallas_call has no eval rule — 'program_id not
+    implemented'; without it, every probe constant becomes a tracer of the
+    model trace and Mosaic rejects the kernels as 'captures constants'.)
+    """
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        return ex.submit(fn, *args).result()
 
 
 def _heuristic(m: int, k: int, n: int) -> bool:
@@ -114,8 +134,6 @@ def _measure(m: int, k: int, n: int) -> bool:
 
     @jax.jit
     def fused(x):
-        # jit keeps the kernel executable under ensure_compile_time_eval
-        # (raw pallas_call has no eager evaluation rule for program_id)
         return fused_quant_matmul(x, w, maxval_w, ws, ascal, scale, shift,
                                   cfg=kcfg)
 
@@ -143,12 +161,8 @@ def _measure(m: int, k: int, n: int) -> bool:
         return best
 
     try:
-        # pallas_wins is called at TRACE time (static shapes) — under the
-        # ambient trace even concrete-input ops would produce tracers, so
-        # force compile-time evaluation for the measurement.
-        with jax.ensure_compile_time_eval():
-            t_fused = _time(fused)
-            t_xla = _time(composed)
+        t_fused = _time(fused)
+        t_xla = _time(composed)
     except Exception as exc:  # measurement must never take the model down
         logger.warning("pallas autotune (%d,%d,%d) failed: %s", m, k, n, exc)
         return _heuristic(m, k, n)
@@ -179,7 +193,7 @@ def pallas_wins(m: int, k: int, n: int) -> bool:
         _load_disk_cache()
     key = (m, k, n)
     if key not in _CACHE:
-        _CACHE[key] = _measure(m, k, n)
+        _CACHE[key] = _off_trace(_measure, m, k, n)
         _save_disk_cache()
     logger.info("pallas gate (%d,%d,%d) -> %s", m, k, n,
                 "fused" if _CACHE[key] else "xla")
@@ -269,7 +283,8 @@ def conv3_group(n: int, h: int, cin: int, cout: int, g0: int,
     key = (("c" if stride == 1 else "c2")
            + ("!" if MODE == "always" else ""), n, h, cin, cout, g0)
     if key not in _CACHE:
-        _CACHE[key] = _resolve_conv3_group(n, h, cin, cout, g0, stride)
+        _CACHE[key] = _off_trace(_resolve_conv3_group, n, h, cin, cout, g0,
+                                 stride)
         _save_disk_cache()
     logger.info("conv3 gate (%d,%dx%d,%d->%d,s%d) -> g=%d", n, h, h, cin,
                 cout, stride, _CACHE[key])
@@ -298,9 +313,8 @@ def _resolve_conv3_group(n: int, h: int, cin: int, cout: int, g0: int,
     if MODE == "always":
         return chosen
     try:
-        with jax.ensure_compile_time_eval():
-            t_fused = _time_fn(fused, xs)
-            t_xla = _time_fn(composed, xs)
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
     except Exception as exc:
         logger.warning("conv3 autotune (%d,%d,%d,%d,s%d) failed: %s",
                        n, h, cin, cout, stride, exc)
@@ -387,8 +401,8 @@ def conv3_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
     key = (("igp" if prequant else "ig") + ("2" if stride == 2 else "")
            + ("!" if MODE == "always" else ""), n, h, cin, cout, g0)
     if key not in _CACHE:
-        _CACHE[key] = _resolve_int8_group(n, h, cin, cout, g0, prequant,
-                                          stride)
+        _CACHE[key] = _off_trace(_resolve_int8_group, n, h, cin, cout, g0,
+                                 prequant, stride)
         _save_disk_cache()
     logger.info("conv3 int8 gate (%d,%dx%d,%d->%d) -> g=%d", n, h, h, cin,
                 cout, _CACHE[key])
@@ -419,9 +433,8 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
         return chosen
 
     try:
-        with jax.ensure_compile_time_eval():
-            t_fused = _time_fn(fused, xs)
-            t_xla = _time_fn(composed, xs)
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
     except Exception as exc:
         logger.warning("conv3 int8 autotune (%d,%d,%d,%d) failed: %s",
                        n, h, cin, cout, exc)
@@ -495,7 +508,7 @@ def dw_group(n: int, h: int, c: int, g0: int, stride: int = 1) -> int:
     key = (("d" if stride == 1 else "d2")
            + ("!" if MODE == "always" else ""), n, h, c, g0)
     if key not in _CACHE:
-        _CACHE[key] = _resolve_dw_group(n, h, c, g0, stride)
+        _CACHE[key] = _off_trace(_resolve_dw_group, n, h, c, g0, stride)
         _save_disk_cache()
     logger.info("dw gate (%d,%dx%d,%d,s%d) -> g=%d", n, h, h, c, stride,
                 _CACHE[key])
@@ -523,9 +536,8 @@ def _resolve_dw_group(n: int, h: int, c: int, g0: int, stride: int) -> int:
     if MODE == "always":
         return chosen
     try:
-        with jax.ensure_compile_time_eval():
-            t_fused = _time_fn(fused, xs)
-            t_xla = _time_fn(composed, xs)
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
     except Exception as exc:
         logger.warning("dw autotune (%d,%d,%d,s%d) failed: %s", n, h, c,
                        stride, exc)
