@@ -133,8 +133,9 @@ def main():
         at.MODE = "auto"                   # measured per-shape gating
         add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)
     if args.int8:
-        at.MODE = "always"                 # s8 path has no XLA equivalent
-        add("int8_mxu_pallas", "pallas", False, True, qscheme="int8")
+        at.MODE = "auto"   # XLA-native s8 route (ops/int8.py) by default;
+        # the Pallas int8 kernels only where the measured gate says they win
+        add("int8_mxu", "pallas", False, True, qscheme="int8")
 
     # interleaved timing
     times = {name: [] for name in variants}

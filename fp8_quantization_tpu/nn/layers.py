@@ -658,6 +658,23 @@ class QuantizedLayerBase(nn.Module):
                                    wstate["signed"].astype(jnp.float32)])
             self._sow_int8_weights(kernel, w_channel, wstate["signed"])
 
+        scale, shift = self._fixed_scale_shift(features, bn, bn_eps,
+                                               use_bias, shift_override)
+
+        kcfg = FusedConvConfig(
+            act_method="int_asym", act_n_bits=cfg.act_quant.n_bits,
+            activation=self.activation, mxu_dtype="int8",
+            n_bits=cfg.weight_quant.n_bits, imgs_per_block=group,
+            w_prequant=prequant, stride=stride)
+        return fused_quant_conv3x3(
+            x, kernel, a_scalars, scale, shift,
+            weight_channel_param=w_channel, weight_scalars=w_scalars,
+            cfg=kcfg)
+
+    def _fixed_scale_shift(self, features, bn, bn_eps, use_bias,
+                           shift_override=None):
+        """Folded epilogue (scale, shift) for fixed-mode inference: BN
+        running stats / folded-BN shift / bias as a single y*S + B."""
         scale = jnp.ones((features,), jnp.float32)
         shift = jnp.zeros((features,), jnp.float32)
         if shift_override is not None:
@@ -676,16 +693,82 @@ class QuantizedLayerBase(nn.Module):
         elif use_bias:
             shift = self.param("bias", nn.initializers.zeros,
                                (features,), jnp.float32)
+        return scale, shift
 
-        kcfg = FusedConvConfig(
-            act_method="int_asym", act_n_bits=cfg.act_quant.n_bits,
-            activation=self.activation, mxu_dtype="int8",
-            n_bits=cfg.weight_quant.n_bits, imgs_per_block=group,
-            w_prequant=prequant, stride=stride)
-        return fused_quant_conv3x3(
-            x, kernel, a_scalars, scale, shift,
-            weight_channel_param=w_channel, weight_scalars=w_scalars,
-            cfg=kcfg)
+    def _int8_xla_ok(self, mode, train_bn, quant_w, quant_a,
+                     x_factor_in) -> bool:
+        """Route this op through the XLA-native s8 datapath (ops/int8.py)?
+
+        The default int8_mxu route: XLA lowers s8 x s8 -> s32 convs/dots
+        onto the MXU at 2x bf16 rate and fuses the quant prologue /
+        dequant epilogue itself — measured faster than both the bf16
+        fake-quant chain AND the Pallas im2col int8 kernels at every
+        probed ResNet shape (ops/int8.py module docstring).
+        """
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+
+        cfg = self.config
+        del x_factor_in   # a Factored input is materialized at the call
+        # site and re-quantized by THIS layer's input quantizer — exactly
+        # the parity engine's semantics for quantize_input configs
+        # (engine='parity' + int8_mxu is therefore legal: the integer
+        # datapath reproduces the reference chain to f32 rounding)
+        if not (cfg.int8_mxu and cfg.quantize_input and mode == "fixed"
+                and not train_bn):
+            return False
+        if not (quant_a and cfg.quant_a
+                and cfg.act_quant.method == QMethod.asymmetric_uniform
+                and not cfg.act_quant.per_channel
+                and cfg.act_quant.n_bits <= 8):
+            return False
+        if (cfg.weight_quant.method != QMethod.symmetric_uniform
+                or cfg.weight_quant.n_bits > 8):
+            return False
+        prequant = (self.has_variable("baked_int8", "w_int8")
+                    and not self.is_mutable_collection("baked_int8"))
+        return prequant or (quant_w and cfg.quant_w)
+
+    def _int8_weight_state(self, kernel, features, mode):
+        """(wsg8, w_delta, signed): int8 weights on the recentered grid.
+
+        Prequant (after nn/bake.bake_int8_weights): straight from the
+        'baked_int8' collection, no weight math in the step.  Otherwise
+        quantized in-graph (and sown for bake).
+        """
+        from fp8_quantization_tpu.ops.pallas.qmatmul import int8_shifted_grid
+        from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+
+        cfg = self.config
+        if (self.has_variable("baked_int8", "w_int8")
+                and not self.is_mutable_collection("baked_int8")):
+            return (self.get_variable("baked_int8", "w_int8"),
+                    self.get_variable("baked_int8", "w_delta"),
+                    self.get_variable("baked_int8", "w_signed").reshape(()))
+        k2d = kernel.reshape(-1, features)
+        _, wstate = self._weight_quantizer(features)(k2d, mode=mode,
+                                                     out="state")
+        w_delta = _scale_from_delta(wstate["delta"],
+                                    cfg.weight_quant.scale_domain,
+                                    cfg.weight_quant.eps)
+        w_channel = (jnp.broadcast_to(w_delta.reshape(-1), (features,))
+                     if cfg.weight_quant.per_channel
+                     else jnp.full((features,), w_delta.reshape(())))
+        signed = wstate["signed"].astype(jnp.float32).reshape(())
+        self._sow_int8_weights(kernel, w_channel, wstate["signed"])
+        wsg8 = int8_shifted_grid(kernel, w_channel, signed,
+                                 cfg.weight_quant.n_bits).astype(jnp.int8)
+        return wsg8, w_channel, signed
+
+    def _int8_act_state(self, x2d, mode):
+        """(a_delta, a_zero) from the asymmetric-uniform act quantizer."""
+        from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+
+        cfg = self.config
+        _, astate = self._act_quantizer()(x2d, mode=mode, out="state")
+        a_delta = _scale_from_delta(astate["delta"].reshape(()),
+                                    cfg.act_quant.scale_domain,
+                                    cfg.act_quant.eps)
+        return a_delta, astate["zero_float"].reshape(())
 
     def _sow_int8_weights(self, kernel, w_channel, signed):
         """Stow the recentered-int8 weights for nn/bake.bake_int8_weights.
@@ -777,12 +860,19 @@ class QuantConv(QuantizedLayerBase):
             kernel, folded_shift = self._bn_folded_kernel(
                 kernel, self.features, self.bn_eps)
 
+        from fp8_quantization_tpu.ops.pallas import autotune as _at
+        int8_xla = self._int8_xla_ok(mode, train_bn, quant_w, quant_a,
+                                     x_factor_in)
+
         # fully fused Pallas path: 1x1 conv == matmul (MobileNetV2's dominant
         # op); quant + matmul + BN/bias + act + out-quant in one kernel.
         # 1x1 stride-2 (ResNet downsample shortcuts) == the same matmul on
         # the even/even phase slice — the slice is plain XLA, outside the
         # kernel, and only survives if the kernel path is actually taken.
+        # int8 configs skip it for the XLA-native s8 route below (measured
+        # faster) unless autotune 'always' mode forces the Pallas kernels.
         if (self._pallas_supported(mode, train_bn)
+                and not (int8_xla and _at.MODE != "always")
                 and self.kernel_size == (1, 1)
                 and self.feature_group_count == 1
                 and self.padding in ("VALID", ((0, 0), (0, 0)))
@@ -867,6 +957,33 @@ class QuantConv(QuantizedLayerBase):
                             self.use_bias, shift_override=folded_shift,
                             x_factor=x_factor_in, out=out, stride=stride,
                             group=gb)
+
+        # XLA-native s8 datapath (ops/int8.py) — the DEFAULT int8_mxu
+        # route: s8 x s8 -> s32 on the MXU through XLA's own conv tiling,
+        # quant prologue + dequant/BN/act epilogue fused by the compiler.
+        # General over kernel size / stride / padding (stem 7x7 and 1x1
+        # shortcuts included); groups limited to 1 or pure depthwise (the
+        # rowsum zero-point correction is per-group).
+        if int8_xla and (self.feature_group_count == 1
+                         or (self.feature_group_count == in_features
+                             and self.features == in_features)):
+            from fp8_quantization_tpu.ops.int8 import int8_conv
+            if x_factor_in is not None:
+                x = x.astype(jnp.float32) * x_factor_in
+            wsg8, w_delta, signed = self._int8_weight_state(
+                kernel, self.features, mode)
+            a_delta, a_zero = self._int8_act_state(
+                x.reshape(-1, in_features), mode)
+            scale, shift = self._fixed_scale_shift(
+                self.features, self.bn and folded_shift is None,
+                self.bn_eps, self.use_bias, folded_shift)
+            return int8_conv(
+                x, wsg8, w_delta, signed, a_delta, a_zero,
+                self.config.act_quant.n_bits, strides=self.strides,
+                padding=self.padding,
+                feature_group_count=self.feature_group_count,
+                scale=scale, shift=shift,
+                act_fn=get_activation(self.activation))
 
         # fused depthwise 3x3 (MobileNetV2's dw stage): 9-tap VPU stencil +
         # folded BN + relu6 + out-quant in one kernel — collapses the
@@ -1042,6 +1159,28 @@ class QuantLinear(QuantizedLayerBase):
                                  "train with bn_mode='fp32_after'")
             kernel, folded_shift = self._bn_folded_kernel(
                 kernel, self.features, self.bn_eps)
+
+        # XLA-native s8 datapath (see QuantConv): default int8_mxu route
+        # for the dense layer; 'always' autotune mode forces the Pallas
+        # fused int8 matmul instead (research escape hatch).
+        from fp8_quantization_tpu.ops.pallas import autotune as _at
+        if (self._int8_xla_ok(mode, train_bn, quant_w, quant_a, x_factor_in)
+                and _at.MODE != "always"):
+            from fp8_quantization_tpu.ops.int8 import int8_matmul
+            if x_factor_in is not None:
+                x = x.astype(jnp.float32) * x_factor_in
+            x2d = x.reshape(-1, in_features)
+            wsg8, w_delta, signed = self._int8_weight_state(
+                kernel, self.features, mode)
+            a_delta, a_zero = self._int8_act_state(x2d, mode)
+            scale, shift = self._fixed_scale_shift(
+                self.features, self.bn and folded_shift is None,
+                self.bn_eps, self.use_bias, folded_shift)
+            y2d = int8_matmul(x2d, wsg8, w_delta, signed, a_delta, a_zero,
+                              self.config.act_quant.n_bits, scale=scale,
+                              shift=shift,
+                              act_fn=get_activation(self.activation))
+            return y2d.reshape(*x.shape[:-1], self.features)
 
         if (self._pallas_supported(mode, train_bn)
                 and self._pallas_wins(x.shape, self.features)):

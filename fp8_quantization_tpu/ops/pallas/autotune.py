@@ -359,19 +359,16 @@ def _int8_conv_fns(n: int, h: int, cin: int, cout: int, g: int,
             x, w_arg, ascal, scale, shift, weight_channel_param=w_delta,
             weight_scalars=jnp.asarray([0.0, 1.0], jnp.float32), cfg=kcfg)
 
-    wq = (jnp.clip(jnp.round(w / w_delta), -128, 127) * w_delta)
-    w_bf = wq.astype(jnp.bfloat16)
+    from fp8_quantization_tpu.ops.int8 import int8_conv
+    wsg8_x = int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
 
     @jax.jit
     def composed(x):
-        # the XLA path this replaces: fake-quant input, bf16 conv, relu
-        xq = (jnp.clip(jnp.round(x / ascal[0]) + ascal[1], 0, 255)
-              - ascal[1]) * ascal[0]
-        y = jax.lax.conv_general_dilated(
-            xq.astype(jnp.bfloat16), w_bf, (stride, stride), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        return jax.nn.relu(y)
+        # the TRUE alternative (ops/int8.py): XLA-native s8 conv with the
+        # same quant prologue + dequant/relu epilogue
+        return int8_conv(x, wsg8_x, w_delta, jnp.asarray(1.0, jnp.float32),
+                         ascal[0], ascal[1], 8, strides=(stride, stride),
+                         act_fn=jax.nn.relu)
 
     return fused, composed, xs
 
