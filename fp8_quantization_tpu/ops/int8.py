@@ -44,12 +44,6 @@ def _act_int_params(a_delta, a_zero, a_bits: float):
     return delta, zp
 
 
-def _valid_shape(shape, window, strides):
-    n = shape[0]
-    return (n,) + tuple((s - w) // st + 1
-                        for s, w, st in zip(shape[1:3], window, strides))
-
-
 def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
               signed: jax.Array, a_delta: jax.Array, a_zero: jax.Array,
               a_bits: float,
@@ -87,38 +81,43 @@ def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
                    + ((0, 0, 0),))
     xs8 = xs_f.astype(jnp.int8)
 
-    acc = lax.conv_general_dilated(
-        xs8, wsg, strides, "VALID",
-        feature_group_count=feature_group_count,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-
     colsum = jnp.sum(wsg.astype(jnp.int32), axis=(0, 1, 2),
                      dtype=jnp.int32).astype(jnp.float32)       # (Cout,)
     s_w = 128.0 * (1.0 - signed)
     if feature_group_count == 1:
-        rowsum = _rowsum_correction(signed, xs8, (kh, kw), strides)
+        # BRANCHLESS rowsum: one extra all-ones output channel makes the
+        # conv compute its own window-channel sum as channel `cout` —
+        # ~1/cout extra MXU work, zero extra HBM passes, no lax.cond
+        # fusion barrier (a cond here materialized 5 GB/step of operands
+        # and branch buffers in the batch-512 ResNet-18 schedule).
+        w_ext = jnp.concatenate(
+            [wsg, jnp.ones((kh, kw, wsg.shape[2], 1), jnp.int8)], axis=-1)
+        acc_ext = lax.conv_general_dilated(
+            xs8, w_ext, strides, "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        acc = acc_ext[..., :cout]
+        rowsum = s_w * acc_ext[..., cout:].astype(jnp.float32)  # (...,1)
     else:
         # grouped convs need a per-group rowsum; only the depthwise case
         # (g == cin) shows up in the zoo and its rowsum is the window sum
-        # of xs itself, channel for channel
+        # of xs itself, channel for channel (multiplied by s_w — zero for
+        # the common signed grid, so XLA fuses a cheap dead multiply)
         if feature_group_count != cin:
             raise NotImplementedError(
                 "int8_conv: feature_group_count must be 1 or Cin")
-        rowsum = lax.cond(
-            signed > 0.5,
-            lambda a: jnp.zeros(
-                _valid_shape(a.shape, (kh, kw), strides) + (cin,),
-                jnp.float32),
-            lambda a: 128.0 * lax.reduce_window(
-                a.astype(jnp.int32), jnp.int32(0), lax.add,
-                (1, kh, kw, 1), (1,) + strides + (1,),
-                "VALID").astype(jnp.float32),
-            xs8)
+        acc = lax.conv_general_dilated(
+            xs8, wsg, strides, "VALID",
+            feature_group_count=feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        rowsum = s_w * lax.reduce_window(
+            xs8.astype(jnp.int32), jnp.int32(0), lax.add,
+            (1, kh, kw, 1), (1,) + strides + (1,),
+            "VALID").astype(jnp.float32)
 
     k_taps = float(kh * kw * (cin // feature_group_count))
-    y = (acc.astype(jnp.float32)
-         + (rowsum if rowsum.ndim == 4 else rowsum[..., None])
+    y = (acc.astype(jnp.float32) + rowsum
          + (128.0 - zp) * colsum
          + k_taps * (128.0 - zp) * s_w)
     y = y * (delta_x * jnp.maximum(w_delta, 1e-8))
@@ -129,22 +128,6 @@ def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
     if act_fn is not None:
         y = act_fn(y)
     return y
-
-
-def _rowsum_correction(signed, xs8, window, strides):
-    """S_w * rowsum(xs): zero for signed weight grids (lax.cond skips the
-    activation re-read entirely), 128 * window-channel-sum otherwise."""
-    def _compute(x):
-        xsum = jnp.sum(x.astype(jnp.int32), axis=-1)            # (N,Hp,Wp)
-        rs = lax.reduce_window(xsum, jnp.int32(0), lax.add,
-                               (1,) + window, (1,) + strides, "VALID")
-        return 128.0 * rs.astype(jnp.float32)
-
-    return lax.cond(
-        signed > 0.5,
-        lambda x: jnp.zeros(_valid_shape(x.shape, window, strides),
-                            jnp.float32),
-        _compute, xs8)
 
 
 def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
@@ -163,12 +146,10 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
                           preferred_element_type=jnp.int32)
     colsum = jnp.sum(wsg.astype(jnp.int32), axis=0).astype(jnp.float32)
     s_w = 128.0 * (1.0 - signed)
-    rowsum = lax.cond(
-        signed > 0.5,
-        lambda a: jnp.zeros((a.shape[0],), jnp.float32),
-        lambda a: 128.0 * jnp.sum(a.astype(jnp.int32),
-                                  axis=-1).astype(jnp.float32),
-        xs8)
+    # branchless: s_w is zero for the common signed grid and the row sum
+    # fuses with the prologue (a lax.cond here would be a fusion barrier)
+    rowsum = s_w * jnp.sum(xs8.astype(jnp.int32),
+                           axis=-1).astype(jnp.float32)
 
     y = (acc.astype(jnp.float32) + rowsum[:, None]
          + (128.0 - zp) * colsum + k * (128.0 - zp) * s_w)
