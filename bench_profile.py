@@ -64,9 +64,10 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             "resnet18": resnet18_quantized}[arch]
     model = ctor(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
-        rng = np.random.RandomState(0)
-        _SETUP_CACHE["x"] = jnp.asarray(
-            rng.normal(0, 1, (batch, 224, 224, 3)), jnp.float32)
+        # generated ON DEVICE: the axon tunnel uploads ~2 MB/s, a batch-256
+        # fp32 input is 154 MB — host-side RandomState would eat the window
+        _SETUP_CACHE["x"] = jax.random.normal(
+            jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32)
     x = _SETUP_CACHE["x"]
     fmt = ("parity" if engine == "parity" else "factored") + (
         "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "")
@@ -99,7 +100,13 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="add the native-int8-MXU variant (int_sym weights "
                          "+ int_asym input quant on the s8xs8->s32 kernel)")
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated variant-name substrings to keep "
+                         "(fp32_bf16ops always kept as the baseline); use to "
+                         "fit an A/B into one tunnel window")
     args = ap.parse_args()
+
+    keep = args.variants.split(",") if args.variants else None
 
     variants = {}
 
@@ -107,6 +114,11 @@ def main():
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
             qscheme="fp8"):
+        if (keep is not None and name != "fp32_bf16ops"
+                and not any(s in name for s in keep)):
+            return
+        import sys
+        print(f"[profile] building {name}", file=sys.stderr, flush=True)
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
                                     args.arch, act_f8, qscheme)
         quant_w = qscheme == "int8"        # int8: in-kernel weight quant

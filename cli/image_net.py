@@ -397,7 +397,7 @@ def train_quantized(**kw):
             freeze_ema_momentum=kw["oscillations_freeze_ema_momentum"],
             total_steps=steps_per_epoch * kw["max_epochs"])
     state, aux = init_qat_state(variables, config, model_tx, quant_tx,
-                                oscillation=oscillation)
+                                oscillation=oscillation, model=model)
     if mesh is not None:
         from fp8_quantization_tpu.parallel import shard_qat_state
         state = shard_qat_state(mesh, state,

@@ -35,12 +35,15 @@ MSE_NUM_CANDIDATES = 111
 
 
 class RangeEstimators(str, enum.Enum):
-    """Reference: range_estimators.py:389-393."""
+    """Reference: range_estimators.py:389-393 (+ line_search: the reference's
+    LineSearchEstimator, :133-282, which its enum leaves out — exposed here as
+    a first-class weight range method for capability parity)."""
 
     current_minmax = "current_minmax"
     allminmax = "allminmax"
     running_minmax = "running_minmax"
     MSE = "MSE"
+    line_search = "line_search"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,10 +55,18 @@ class EstimatorSpec:
     # hardcoded 111-point linspace (range_estimators.py:306 ignores its own
     # num_candidates arg; we honor the flag when it is set explicitly).
     num_candidates: Optional[int] = None
+    # line_search only (reference LineSearchEstimator defaults, :135-139)
+    range_margin: float = 0.5
+    expand_range: float = 10.0
 
     @property
     def grid_size(self) -> int:
         return self.num_candidates or MSE_NUM_CANDIDATES
+
+    @property
+    def line_search_size(self) -> int:
+        # reference LineSearchEstimator default num_candidates=1000 (:135)
+        return self.num_candidates or 1000
 
     def replace(self, **kw) -> "EstimatorSpec":
         return dataclasses.replace(self, **kw)
@@ -93,6 +104,13 @@ def init_state(spec: EstimatorSpec, qspec: QuantizerSpec,
         return {
             "search_grid": jnp.zeros((spec.grid_size, c), jnp.float32),
             "mses": jnp.zeros((n_mbits, spec.grid_size, c), jnp.float32),
+            "seen": jnp.asarray(False, jnp.bool_),
+        }
+    if spec.kind == RangeEstimators.line_search:
+        return {
+            "thresholds": jnp.zeros((spec.line_search_size,), jnp.float32),
+            "losses": jnp.zeros((spec.line_search_size, c), jnp.float32),
+            "one_sided": jnp.asarray(False, jnp.bool_),
             "seen": jnp.asarray(False, jnp.bool_),
         }
     return {}
@@ -189,6 +207,51 @@ def _mse_update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
     return new_state, x_min, x_max, q_updates
 
 
+def _line_search_update(spec: EstimatorSpec, qspec: QuantizerSpec,
+                        state: EstState, x_cn: jax.Array, per_channel: bool):
+    """Per-channel 1-D grid line search over symmetric clipping thresholds.
+
+    Reference: LineSearchEstimator._perform_1D_search
+    (range_estimators.py:236-256) with ``per_channel_loss=True`` (:161-168):
+    each candidate threshold quantizes the FULL tensor with one per-tensor
+    range (the reference deep-copies the quantizer with per_channel=False,
+    :200-207), the squared error is reduced PER CHANNEL, losses accumulate
+    across calibration batches, and the argmin is taken per channel.  The
+    search range is frozen on the first batch from the GLOBAL min/max
+    (:209-234); the one-sided test likewise (:260-264).  The reference's
+    1000-candidate Python loop becomes one ``lax.map`` on device.
+    """
+    from fp8_quantization_tpu.calibration.line_search import (
+        _quantize_with_range)
+
+    x_cn = x_cn.astype(jnp.float32)
+    n = spec.line_search_size
+
+    data_min = jnp.min(x_cn)
+    data_max = jnp.max(x_cn)
+    one_sided = jnp.where(state["seen"], state["one_sided"], data_min >= 0)
+    max_pos = (jnp.maximum(jnp.abs(data_min), jnp.abs(data_max))
+               + spec.range_margin)
+    step = max_pos * spec.expand_range / n
+    fresh = step * jnp.arange(1, n + 1, dtype=jnp.float32)
+    thresholds = jnp.where(state["seen"], state["thresholds"], fresh)
+
+    def loss(t):
+        neg = jnp.where(one_sided, 0.0, -t)
+        y = _quantize_with_range(qspec, x_cn, neg, t)
+        return jnp.sum((x_cn - y) ** 2, axis=-1)                     # (C,)
+
+    losses = state["losses"] + jax.lax.map(loss, thresholds, batch_size=16)
+
+    best = jnp.argmin(losses, axis=0)                                # (C,)
+    x_max = jnp.take(thresholds, best)
+    x_min = jnp.where(one_sided, 0.0, -x_max)
+    new_state = {"thresholds": thresholds, "losses": losses,
+                 "one_sided": one_sided, "seen": jnp.asarray(True, jnp.bool_)}
+    return (new_state, _maybe_squeeze(x_min, per_channel),
+            _maybe_squeeze(x_max, per_channel), {})
+
+
 def update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
            x_cn: jax.Array) -> Tuple[EstState, jax.Array, jax.Array, Dict[str, Any]]:
     """One calibration-batch estimator step.
@@ -227,5 +290,8 @@ def update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
 
     if spec.kind == RangeEstimators.MSE:
         return _mse_update(spec, qspec, state, x_cn, per_channel)
+
+    if spec.kind == RangeEstimators.line_search:
+        return _line_search_update(spec, qspec, state, x_cn, per_channel)
 
     raise ValueError(f"unknown estimator kind {spec.kind}")

@@ -118,7 +118,12 @@ def network_format_search(
     refs = [fp32_logits(variables, x) for x in xs]
 
     def total_mse(qs):
-        return float(sum(qmse(qs, x, r) for x, r in zip(xs, refs)))
+        """Network MSE over all batches as a DEVICE scalar (no host sync;
+        the per-batch evals pipeline as async dispatches)."""
+        s = jnp.zeros(())
+        for x, r in zip(xs, refs):
+            s = s + qmse(qs, x, r)
+        return s
 
     quant_state = variables["quant"]
     paths = find_fp8_quantizers(quant_state)
@@ -126,25 +131,33 @@ def network_format_search(
         log.warning("format search: no FP8 quantizer state found")
         return variables, {}, []
 
-    history = [total_mse(quant_state)]
+    # Incumbent network MSE is CACHED across coordinate steps (each step
+    # changes exactly one quantizer, and the incumbent is re-used as
+    # candidate 0 below) — O(Q*C) jitted evals per pass, not O(Q^2*C), with
+    # ONE host sync per quantizer (the stacked candidate-loss pull).
+    cur_mse = total_mse(quant_state)
+    history = [float(cur_mse)]
     log.info("format search: %d quantizers, %d candidates, initial "
              "network MSE %.3e", len(paths), len(candidates), history[0])
+
+    import numpy as np
 
     for p in range(passes):
         for path in paths:
             cur = float(_get(quant_state, path)["mantissa_bits"])
-            best_m, best_mse = cur, total_mse(quant_state)
-            for m in candidates:
-                if float(m) == cur:
-                    continue
-                cand_mse = total_mse(_set_mbits(quant_state, path, m))
-                if cand_mse < best_mse:
-                    best_m, best_mse = float(m), cand_mse
-            if best_m != cur:
-                quant_state = _set_mbits(quant_state, path, best_m)
+            cand_ms = [float(m) for m in candidates if float(m) != cur]
+            losses = jnp.stack(
+                [cur_mse] + [total_mse(_set_mbits(quant_state, path, m))
+                             for m in cand_ms])
+            losses_h = np.asarray(losses)          # one sync per quantizer
+            k = int(losses_h.argmin())
+            if k > 0:
+                quant_state = _set_mbits(quant_state, path, cand_ms[k - 1])
                 log.info("format search: %s M=%d -> M=%d (MSE %.3e)",
-                         "/".join(path), int(cur), int(best_m), best_mse)
-        history.append(total_mse(quant_state))
+                         "/".join(path), int(cur), int(cand_ms[k - 1]),
+                         losses_h[k])
+            cur_mse = losses[k]
+        history.append(float(cur_mse))
         log.info("format search pass %d done: network MSE %.3e",
                  p + 1, history[-1])
 

@@ -92,6 +92,26 @@ class QuantizedMobileNetV2(nn.Module):
     block_act_config: Optional[LayerQuantConfig] = None  # residual-add quant
     tie_avgpool: bool = True
 
+    def weight_spec_fn(self):
+        """Param-path -> weight QuantizerSpec, resolving quant_setup preset
+        overrides (stem/head/classifier/depthwise) so oscillation dampening
+        and freezing (training/oscillation.py) use each layer's ACTUAL grid —
+        e.g. fc4_dw8's 8-bit depthwise convs and 4-bit classifier."""
+        def fn(path):
+            top = path[0] if path else ""
+            if top == "stem":
+                return (self.stem_config or self.config).weight_quant
+            if top == "head":
+                return (self.head_config or self.config).weight_quant
+            if top == "classifier":
+                return (self.fc_config or self.config).weight_quant
+            if (top.startswith("block") and len(path) > 1
+                    and path[1] == "dw"):
+                return (self.dw_config or self.config).weight_quant
+            return self.config.weight_quant
+
+        return fn
+
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False):

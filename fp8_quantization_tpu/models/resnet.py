@@ -96,6 +96,31 @@ class QuantizedResNet(nn.Module):
     block_act_config: Optional[LayerQuantConfig] = None  # block-output act quant
     tie_avgpool: bool = True                             # False for LSQ_paper
 
+    def weight_spec_fn(self):
+        """Param-path -> weight QuantizerSpec, resolving quant_setup preset
+        overrides (stem/fc/last-block) so oscillation dampening/freezing
+        (training/oscillation.py) uses each layer's ACTUAL grid — e.g. the
+        fc4 preset's 4-bit fc and 8-bit stem."""
+        num_blocks = sum(self.stage_sizes)
+        last_name, idx = None, 0
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            for b in range(n_blocks):
+                if idx == num_blocks - 1:
+                    last_name = f"layer{stage + 1}_{b}"
+                idx += 1
+
+        def fn(path):
+            top = path[0] if path else ""
+            if top == "stem":
+                return (self.stem_config or self.config).weight_quant
+            if top == "fc":
+                return (self.fc_config or self.config).weight_quant
+            if top == last_name:   # block features; downsample keeps base cfg
+                return (self.last_block_config or self.config).weight_quant
+            return self.config.weight_quant
+
+        return fn
+
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False):

@@ -295,6 +295,49 @@ class QuantizedLayerBase(nn.Module):
         shape = [1] * (kernel.ndim - 1) + [features]
         return kernel * inv.reshape(shape), beta - ra_mean.value * inv
 
+    def _act_quant_scalars(self, x2d, mode, quant_a):
+        """(a_method, a_scalars) for a fused kernel's act-quant epilogue.
+
+        a_scalars layout (3,): fp8 -> [maxval, mantissa_bits, sign_bits];
+        int_asym -> [scale, zero_point, 0].  'none' when this layer does not
+        quantize activations.
+        """
+        from fp8_quantization_tpu.ops.quantizer import QMethod
+        from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+
+        cfg = self.config
+        if not (quant_a and cfg.quant_a):
+            return "none", jnp.zeros((3,), jnp.float32)
+        _, astate = self._act_quantizer()(x2d, mode=mode, out="state")
+        if cfg.act_quant.method == QMethod.fp_quantizer:
+            return "fp8", jnp.stack([
+                astate["maxval"].reshape(()),
+                astate["mantissa_bits"].astype(jnp.float32),
+                astate["sign_bits"].astype(jnp.float32)])
+        return "int_asym", jnp.stack([
+            _scale_from_delta(astate["delta"].reshape(()),
+                              cfg.act_quant.scale_domain, cfg.act_quant.eps),
+            astate["zero_float"].reshape(()),
+            jnp.asarray(0.0, jnp.float32)])
+
+    def _act_factor(self, a_method, a_scalars):
+        """Per-tensor factor of the Factored output (norm * factor == value)."""
+        if a_method == "fp8":
+            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
+                          self.config.act_quant.n_bits - a_scalars[2])
+            return a_scalars[0] / (2.0 - jnp.exp2(-mb))
+        return a_scalars[0]   # int_asym: the scale itself
+
+    def _deploy_scale(self, scale, x_factor, baked_w_factor: bool):
+        """Fold the factored-input scalar and the baked per-channel weight
+        factor into a fused kernel's epilogue scale (both commute through
+        the matmul; shift stays unscaled — scale applies before shift)."""
+        if x_factor is not None:
+            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
+        if baked_w_factor:
+            scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+        return scale
+
     def _pallas_forward(self, x2d, kernel2d, features, mode, quant_w, quant_a,
                         bn, bn_eps, use_bias, shift_override=None,
                         x_factor=None, out: str = "value"):
@@ -316,7 +359,6 @@ class QuantizedLayerBase(nn.Module):
             x2d = x2d.astype(jnp.bfloat16)
         cfg = self.config
         ones = jnp.ones((features,), jnp.float32)
-        zeros = jnp.zeros((features,), jnp.float32)
 
         # weight quantizer state
         w_method = "none"
@@ -368,55 +410,16 @@ class QuantizedLayerBase(nn.Module):
                                            wstate["signed"])
 
         # act quantizer state (input-quant or output-quant)
-        a_method = "none"
-        a_scalars = jnp.zeros((3,), jnp.float32)
-        if quant_a and cfg.quant_a:
-            _, astate = self._act_quantizer()(x2d, mode=mode, out="state")
-            if cfg.act_quant.method == QMethod.fp_quantizer:
-                a_method = "fp8"
-                a_scalars = jnp.stack([
-                    astate["maxval"].reshape(()),
-                    astate["mantissa_bits"].astype(jnp.float32),
-                    astate["sign_bits"].astype(jnp.float32)])
-            else:  # asymmetric_uniform
-                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
-                a_method = "int_asym"
-                a_scalars = jnp.stack([
-                    _scale_from_delta(astate["delta"].reshape(()),
-                                      cfg.act_quant.scale_domain,
-                                      cfg.act_quant.eps),
-                    astate["zero_float"].reshape(()),
-                    jnp.asarray(0.0, jnp.float32)])
+        a_method, a_scalars = self._act_quant_scalars(x2d, mode, quant_a)
 
-        # epilogue: bias or BN-with-running-stats folded to scale/shift
-        scale, shift = ones, zeros
-        if shift_override is not None:
-            shift = shift_override
-        elif bn:
-            gamma = self.param("gamma", nn.initializers.ones,
-                               (features,), jnp.float32)
-            beta = self.param("beta", nn.initializers.zeros,
-                              (features,), jnp.float32)
-            ra_mean = self.variable("batch_stats", "mean",
-                                    lambda: jnp.zeros(features, jnp.float32))
-            ra_var = self.variable("batch_stats", "var",
-                                   lambda: jnp.ones(features, jnp.float32))
-            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
-            scale, shift = inv, beta - ra_mean.value * inv
-        elif use_bias:
-            shift = self.param("bias", nn.initializers.zeros,
-                               (features,), jnp.float32)
-
-        if x_factor is not None:
-            # incoming Factored input: its per-tensor factor commutes through
-            # the matmul — fold into the epilogue scale (shift is unscaled
-            # because scale applies before shift in the kernel epilogue)
-            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
-        if (not (quant_w and cfg.quant_w)
-                and self.has_variable("baked", "w_factor")):
-            # baked normalized kernel (nn/bake.py): fold its per-channel
-            # factor into the epilogue scale
-            scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+        # epilogue: bias or BN-with-running-stats folded to scale/shift,
+        # then the factored-input scalar / baked weight factor
+        scale, shift = self._fixed_scale_shift(features, bn, bn_eps,
+                                               use_bias, shift_override)
+        scale = self._deploy_scale(
+            scale, x_factor,
+            baked_w_factor=(not (quant_w and cfg.quant_w)
+                            and self.has_variable("baked", "w_factor")))
 
         emit_norm = (out == "factored" and a_method != "none"
                      and not cfg.quantize_input and _factored_act_ok(cfg))
@@ -436,13 +439,7 @@ class QuantizedLayerBase(nn.Module):
                                a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:
             return y
-        if a_method == "fp8":
-            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
-                          cfg.act_quant.n_bits - a_scalars[2])
-            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
-        else:  # int_asym: factor is the scale itself
-            factor = a_scalars[0]
-        return Factored(y, factor)
+        return Factored(y, self._act_factor(a_method, a_scalars))
 
 
     def _conv3_group(self, n, h, w):
@@ -467,56 +464,17 @@ class QuantizedLayerBase(nn.Module):
         output quant in the kernel epilogue."""
         from fp8_quantization_tpu.ops.pallas.qconv import (
             FusedConvConfig, fused_quant_conv3x3)
-        from fp8_quantization_tpu.ops.quantizer import QMethod
 
         cfg = self.config
         if x.dtype.itemsize == 1:       # f8-stored factored input
             x = x.astype(jnp.bfloat16)
 
-        a_method = "none"
-        a_scalars = jnp.zeros((3,), jnp.float32)
-        if quant_a and cfg.quant_a:
-            _, astate = self._act_quantizer()(
-                x.reshape(-1, x.shape[-1]), mode=mode, out="state")
-            if cfg.act_quant.method == QMethod.fp_quantizer:
-                a_method = "fp8"
-                a_scalars = jnp.stack([
-                    astate["maxval"].reshape(()),
-                    astate["mantissa_bits"].astype(jnp.float32),
-                    astate["sign_bits"].astype(jnp.float32)])
-            else:
-                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
-                a_method = "int_asym"
-                a_scalars = jnp.stack([
-                    _scale_from_delta(astate["delta"].reshape(()),
-                                      cfg.act_quant.scale_domain,
-                                      cfg.act_quant.eps),
-                    astate["zero_float"].reshape(()),
-                    jnp.asarray(0.0, jnp.float32)])
-
-        scale = jnp.ones((features,), jnp.float32)
-        shift = jnp.zeros((features,), jnp.float32)
-        if shift_override is not None:
-            shift = shift_override
-        elif bn:
-            gamma = self.param("gamma", nn.initializers.ones,
-                               (features,), jnp.float32)
-            beta = self.param("beta", nn.initializers.zeros,
-                              (features,), jnp.float32)
-            ra_mean = self.variable("batch_stats", "mean",
-                                    lambda: jnp.zeros(features, jnp.float32))
-            ra_var = self.variable("batch_stats", "var",
-                                   lambda: jnp.ones(features, jnp.float32))
-            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
-            scale, shift = inv, beta - ra_mean.value * inv
-        elif use_bias:
-            shift = self.param("bias", nn.initializers.zeros,
-                               (features,), jnp.float32)
-
-        if x_factor is not None:
-            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
+        a_method, a_scalars = self._act_quant_scalars(
+            x.reshape(-1, x.shape[-1]), mode, quant_a)
+        scale, shift = self._fixed_scale_shift(features, bn, bn_eps,
+                                               use_bias, shift_override)
         # baked normalized kernel factor (gate requires it to be present)
-        scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+        scale = self._deploy_scale(scale, x_factor, baked_w_factor=True)
 
         emit_norm = (out == "factored" and a_method != "none"
                      and _factored_act_ok(cfg))
@@ -530,13 +488,7 @@ class QuantizedLayerBase(nn.Module):
         y = fused_quant_conv3x3(x, kernel, a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:
             return y
-        if a_method == "fp8":
-            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
-                          cfg.act_quant.n_bits - a_scalars[2])
-            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
-        else:
-            factor = a_scalars[0]
-        return Factored(y, factor)
+        return Factored(y, self._act_factor(a_method, a_scalars))
 
     def _pallas_dwconv3x3(self, x, kernel, features, mode, quant_a, bn,
                           bn_eps, use_bias, shift_override=None,
@@ -548,55 +500,16 @@ class QuantizedLayerBase(nn.Module):
         channel c), folded BN/bias, relu6, output quant in-kernel."""
         from fp8_quantization_tpu.ops.pallas.qconv import (
             FusedConvConfig, fused_quant_dwconv3x3)
-        from fp8_quantization_tpu.ops.quantizer import QMethod
 
         cfg = self.config
         if x.dtype.itemsize == 1:       # f8-stored factored input
             x = x.astype(jnp.bfloat16)
 
-        a_method = "none"
-        a_scalars = jnp.zeros((3,), jnp.float32)
-        if quant_a and cfg.quant_a:
-            _, astate = self._act_quantizer()(
-                x.reshape(-1, x.shape[-1]), mode=mode, out="state")
-            if cfg.act_quant.method == QMethod.fp_quantizer:
-                a_method = "fp8"
-                a_scalars = jnp.stack([
-                    astate["maxval"].reshape(()),
-                    astate["mantissa_bits"].astype(jnp.float32),
-                    astate["sign_bits"].astype(jnp.float32)])
-            else:
-                from fp8_quantization_tpu.ops.uniform import _scale_from_delta
-                a_method = "int_asym"
-                a_scalars = jnp.stack([
-                    _scale_from_delta(astate["delta"].reshape(()),
-                                      cfg.act_quant.scale_domain,
-                                      cfg.act_quant.eps),
-                    astate["zero_float"].reshape(()),
-                    jnp.asarray(0.0, jnp.float32)])
-
-        scale = jnp.ones((features,), jnp.float32)
-        shift = jnp.zeros((features,), jnp.float32)
-        if shift_override is not None:
-            shift = shift_override
-        elif bn:
-            gamma = self.param("gamma", nn.initializers.ones,
-                               (features,), jnp.float32)
-            beta = self.param("beta", nn.initializers.zeros,
-                              (features,), jnp.float32)
-            ra_mean = self.variable("batch_stats", "mean",
-                                    lambda: jnp.zeros(features, jnp.float32))
-            ra_var = self.variable("batch_stats", "var",
-                                   lambda: jnp.ones(features, jnp.float32))
-            inv = jax.lax.rsqrt(ra_var.value + bn_eps) * gamma
-            scale, shift = inv, beta - ra_mean.value * inv
-        elif use_bias:
-            shift = self.param("bias", nn.initializers.zeros,
-                               (features,), jnp.float32)
-
-        if x_factor is not None:
-            scale = scale * jnp.asarray(x_factor, jnp.float32).reshape(())
-        scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+        a_method, a_scalars = self._act_quant_scalars(
+            x.reshape(-1, x.shape[-1]), mode, quant_a)
+        scale, shift = self._fixed_scale_shift(features, bn, bn_eps,
+                                               use_bias, shift_override)
+        scale = self._deploy_scale(scale, x_factor, baked_w_factor=True)
 
         emit_norm = (out == "factored" and a_method != "none"
                      and _factored_act_ok(cfg))
@@ -608,13 +521,7 @@ class QuantizedLayerBase(nn.Module):
                                   a_scalars, scale, shift, cfg=kcfg)
         if not emit_norm:
             return y
-        if a_method == "fp8":
-            mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
-                          cfg.act_quant.n_bits - a_scalars[2])
-            factor = a_scalars[0] / (2.0 - jnp.exp2(-mb))
-        else:
-            factor = a_scalars[0]
-        return Factored(y, factor)
+        return Factored(y, self._act_factor(a_method, a_scalars))
 
     def _pallas_conv3x3_int8(self, x, kernel, features, mode, bn, bn_eps,
                              use_bias, shift_override=None, group=1,
@@ -630,13 +537,8 @@ class QuantizedLayerBase(nn.Module):
         from fp8_quantization_tpu.ops.uniform import _scale_from_delta
 
         cfg = self.config
-        _, astate = self._act_quantizer()(
-            x.reshape(-1, x.shape[-1]), mode=mode, out="state")
-        a_scalars = jnp.stack([
-            _scale_from_delta(astate["delta"].reshape(()),
-                              cfg.act_quant.scale_domain, cfg.act_quant.eps),
-            astate["zero_float"].reshape(()),
-            jnp.asarray(0.0, jnp.float32)])
+        _, a_scalars = self._act_quant_scalars(
+            x.reshape(-1, x.shape[-1]), mode, quant_a=True)
 
         if prequant:
             kernel = self.get_variable("baked_int8", "w_int8")

@@ -24,13 +24,23 @@ jitted train step (no module mutation), sized like the quantized kernels.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from fp8_quantization_tpu.ops import quantizer as q
 from fp8_quantization_tpu.ops.quantizer import QuantizerSpec
+
+# Per-layer weight specs: either one spec for the whole model, or a resolver
+# ``path -> QuantizerSpec`` (models expose ``weight_spec_fn()`` mapping
+# quant_setup preset overrides — fc4's 4-bit fc, fc4_dw8's 8-bit depthwise —
+# onto parameter paths, so each layer is dampened/frozen against ITS grid).
+SpecLike = Union[QuantizerSpec, Callable[[Tuple[str, ...]], QuantizerSpec]]
+
+
+def _spec_at(spec: SpecLike, path: Tuple[str, ...]) -> QuantizerSpec:
+    return spec(path) if callable(spec) else spec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,20 +95,21 @@ def _walk_kernels(params: Dict[str, Any], quant: Dict[str, Any], fn,
 
 
 def dampening_loss(params: Dict[str, Any], quant: Dict[str, Any],
-                   spec: QuantizerSpec) -> jax.Array:
+                   spec: SpecLike) -> jax.Array:
     """sum((sg(Q(w)) - w)^2) over all quantized weight elements.
 
     Per-element sum (not mean) so the regularizer's pull on each weight,
     ``2*lambda*(w - Q(w))``, is independent of layer size — matching the
-    paper's per-element formulation.  ``spec`` is the model's base
-    weight-quantizer spec (per-layer bit-width overrides in presets are
-    approximated by the base spec here).
+    paper's per-element formulation.  ``spec`` may be a per-path resolver
+    (``model.weight_spec_fn()``) so preset overrides (fc4 / fc4_dw8) dampen
+    each layer against its own grid.
     """
     total = jnp.asarray(0.0, jnp.float32)
 
     def _one(path, kernel, qstate):
         nonlocal total
-        wq = q.apply(spec, jax.tree.map(jax.lax.stop_gradient, qstate),
+        wq = q.apply(_spec_at(spec, path),
+                     jax.tree.map(jax.lax.stop_gradient, qstate),
                      kernel, channel_axis=-1)
         total = total + jnp.sum((jax.lax.stop_gradient(wq) - kernel) ** 2)
         return None
@@ -108,11 +119,11 @@ def dampening_loss(params: Dict[str, Any], quant: Dict[str, Any],
 
 
 def init_osc_state(params: Dict[str, Any], quant: Dict[str, Any],
-                   spec: QuantizerSpec) -> Dict[str, Any]:
+                   spec: SpecLike) -> Dict[str, Any]:
     """Per-kernel tracking state: previous quantized value, direction of the
     last change, oscillation-frequency EMA, frozen mask + frozen values."""
     def _one(path, kernel, qstate):
-        wq = q.apply(spec, qstate, kernel, channel_axis=-1)
+        wq = q.apply(_spec_at(spec, path), qstate, kernel, channel_axis=-1)
         return {
             "prev_q": wq,
             "prev_dir": jnp.zeros_like(kernel),
@@ -125,7 +136,7 @@ def init_osc_state(params: Dict[str, Any], quant: Dict[str, Any],
 
 
 def apply_freezing(params: Dict[str, Any], quant: Dict[str, Any],
-                   osc_state: Dict[str, Any], spec: QuantizerSpec,
+                   osc_state: Dict[str, Any], spec: SpecLike,
                    step, cfg: OscillationConfig) -> Tuple[Dict, Dict, Dict]:
     """Post-optimizer-update freezing pass.
 
@@ -152,7 +163,7 @@ def apply_freezing(params: Dict[str, Any], quant: Dict[str, Any],
         # restore frozen latents first (optimizer may have moved them)
         w = jnp.where(st["frozen"], st["frozen_val"], kernel)
 
-        wq = q.apply(spec, qstate, w, channel_axis=-1)
+        wq = q.apply(_spec_at(spec, path), qstate, w, channel_axis=-1)
         changed = wq != st["prev_q"]
         direction = jnp.sign(wq - st["prev_q"])
         osc = changed & (direction == -st["prev_dir"]) & (st["prev_dir"] != 0)

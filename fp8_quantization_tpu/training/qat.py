@@ -164,21 +164,28 @@ class QATState:
 def init_qat_state(variables: dict, config: LayerQuantConfig,
                    model_tx: optax.GradientTransformation,
                    quant_tx: Optional[optax.GradientTransformation] = None,
-                   oscillation: Optional[OscillationConfig] = None) -> Tuple[QATState, Dict]:
+                   oscillation: Optional[OscillationConfig] = None,
+                   model=None) -> Tuple[QATState, Dict]:
     """Build the QATState from calibrated model variables.
 
     ``quant_tx=None`` trains quant params with the model optimizer
     (reference: --sep-quant-optimizer off, click_options.py:184-213).
     ``oscillation`` enables dampening/freezing (training/oscillation.py).
+    ``model`` (optional): when the model exposes ``weight_spec_fn()`` the
+    oscillation machinery resolves each layer's ACTUAL weight spec (preset
+    overrides like fc4's 4-bit fc) instead of the base spec.
     Returns (state, aux) where aux holds the optax transforms for the step fn.
     """
+    weight_spec = config.weight_quant
+    if model is not None and hasattr(model, "weight_spec_fn"):
+        weight_spec = model.weight_spec_fn()
     mask = quant_trainable_mask(variables["quant"], config)
     qtrain, qfrozen = partition_quant(variables["quant"], mask)
     quant_tx = quant_tx if quant_tx is not None else model_tx
     osc_state = None
     if oscillation is not None and oscillation.freeze:
         osc_state = init_osc_state(variables["params"], variables["quant"],
-                                   config.weight_quant)
+                                   weight_spec)
     state = QATState(
         params=variables["params"],
         quant_train=qtrain, quant_frozen=qfrozen,
@@ -189,7 +196,7 @@ def init_qat_state(variables: dict, config: LayerQuantConfig,
         osc_state=osc_state)
     return state, {"model_tx": model_tx, "quant_tx": quant_tx, "mask": mask,
                    "oscillation": oscillation,
-                   "weight_spec": config.weight_quant}
+                   "weight_spec": weight_spec}
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:

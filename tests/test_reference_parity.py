@@ -254,3 +254,40 @@ def test_percentile_estimator_parity(ref):
     _, j_min, j_max, _ = jest.update(espec, spec, state, jnp.asarray(x))
     np.testing.assert_allclose(float(j_min), float(t_min), rtol=2e-3)
     np.testing.assert_allclose(float(j_max), float(t_max), rtol=2e-3)
+
+
+def test_line_search_per_channel_parity(ref):
+    """Per-channel 1-D line search vs the reference's LineSearchEstimator
+    with per_channel=True (_perform_1D_search + per_channel_loss,
+    range_estimators.py:161-168,236-256), losses accumulated over 2 batches."""
+    torch = ref["torch"]
+    from quantization.range_estimators import LineSearchEstimator
+    from quantization.quantizers.fp8_quantizer import FPQuantizer
+
+    rng = np.random.RandomState(7)
+    batches = [rng.normal(0, s, (6, 256)).astype(np.float32)
+               for s in (0.5, 0.8)]                       # (C, N) views
+
+    tq = FPQuantizer(8, mantissa_bits=4, set_maxval=True)
+    est = LineSearchEstimator(per_channel=True, quantizer=tq,
+                              num_candidates=120)
+    for b in batches:
+        t_min, t_max = est(torch.from_numpy(b))
+
+    from fp8_quantization_tpu.calibration import estimators as jest
+    from fp8_quantization_tpu.ops.quantizer import QMethod, QuantizerSpec
+
+    spec = QuantizerSpec(method=QMethod.fp_quantizer, per_channel=True,
+                         set_maxval=True)
+    espec = jest.EstimatorSpec(kind=jest.RangeEstimators.line_search,
+                               num_candidates=120)
+    state = jest.init_state(espec, spec, 6)
+    for b in batches:
+        state, j_min, j_max, _ = jest.update(espec, spec, state,
+                                             jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(j_max),
+                               t_max.detach().numpy().reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_min),
+                               t_min.detach().numpy().reshape(-1),
+                               rtol=1e-5, atol=1e-6)
