@@ -72,7 +72,9 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
     fmt = ("parity" if engine == "parity" else "factored") + (
         "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "")
     if fmt not in _SETUP_CACHE:
-        variables = model.init(jax.random.PRNGKey(0), x[:8])
+        # jitted: eager init is per-op LATENCY-bound over the axon tunnel
+        # (hundreds of dispatches -> minutes for MobileNetV2)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:8])
         variables = calibrate(model, variables, [x[:8]])
         if qscheme == "int8":
             # baked-int8 weights: kernels consume the stored integer grid

@@ -326,6 +326,46 @@ def validate_quantized(**kw):
 
 
 @fp8_cmd_group.command()
+@click.option("--workdir", default="/tmp/fp8tpu_rehearsal")
+@click.option("--images-dir", type=str, default=None,
+              help="REAL ImageNet root; omitted -> synthetic 1000-class tree")
+@click.option("--model-dirs", type=str, default=None,
+              help="comma-separated arch=ckpt.pth; omitted -> synthetic ckpts")
+@click.option("--archs", default="resnet18,mobilenet_v2,vit_small")
+@click.option("--platform", type=str, default=None)
+@click.option("--batch-size", type=int, default=64)
+@click.option("--images", type=int, default=2000)
+@click.option("--max-eval-batches", type=int, default=None)
+def preflight(**kw):
+    """One-command readiness check of the real-data PTQ path.
+
+    Drives tools/dress_rehearsal.py: torch-checkpoint conversion ->
+    ImageFolder decode -> calibration -> fixed-range eval for every arch.
+    Without real assets it runs on synthetic checkpoints + JPEGs (chance
+    top-1; the PATH is what's validated); pointing --images-dir/--model-dirs
+    at real assets makes the same command produce the BASELINE.md deltas.
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    cmd = [sys.executable, str(repo / "tools" / "dress_rehearsal.py"),
+           "--workdir", kw["workdir"], "--archs", kw["archs"],
+           "--batch-size", str(kw["batch_size"]),
+           "--images", str(kw["images"])]
+    if kw["images_dir"]:
+        cmd += ["--images-dir", kw["images_dir"]]
+    if kw["model_dirs"]:
+        cmd += ["--model-dirs", kw["model_dirs"]]
+    if kw["platform"]:
+        cmd += ["--platform", kw["platform"]]
+    if kw["max_eval_batches"]:
+        cmd += ["--max-eval-batches", str(kw["max_eval_batches"])]
+    raise SystemExit(subprocess.call(cmd))
+
+
+@fp8_cmd_group.command()
 @_quant_options
 @click.option("--optimizer", type=str, default="SGD")
 @click.option("--learning-rate", type=float, default=1e-3)

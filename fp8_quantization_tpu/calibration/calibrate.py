@@ -19,9 +19,46 @@ import jax.numpy as jnp
 log = logging.getLogger(__name__)
 
 
+def partial_quant_updates(new: dict, old: dict, stop_after: str) -> dict:
+    """Keep quant updates up to AND INCLUDING the module named ``stop_after``
+    (a key name, or a '/'-joined path prefix); later quantizers keep their
+    pre-batch state.
+
+    The functional counterpart of the reference's StopForwardException
+    early-exit (quantization/utils.py:108-113, utils/utils.py:268-276):
+    exceptions can't cross a jit boundary, but because the passed-through
+    leaves don't depend on the forward, XLA dead-code-eliminates every op
+    downstream of the target layer — the compiled step physically stops
+    there.  Collection key order is module first-use order (execution
+    order), the same ordering the reference's hook relies on.
+    """
+    done = [False]
+
+    def rec(n, o, path):
+        out = {}
+        for k, v in n.items():
+            p = path + (k,)
+            if done[0]:
+                out[k] = o[k]
+            elif isinstance(v, dict):
+                out[k] = rec(v, o[k], p)
+                if k == stop_after or "/".join(p) == stop_after:
+                    done[0] = True
+            else:
+                out[k] = v
+        return out
+
+    masked = rec(new, old, ())
+    if not done[0]:
+        raise ValueError(f"stop_after={stop_after!r} matched no module in "
+                         f"the quant collection")
+    return masked
+
+
 def calibrate(model, variables: dict, batches: Iterable, *,
               num_batches: Optional[int] = None, quant_w: bool = True,
-              quant_a: bool = True, donate: bool = False) -> dict:
+              quant_a: bool = True, donate: bool = False,
+              stop_after: Optional[str] = None) -> dict:
     """Run <= num_batches through the model in 'calibrate' mode, threading the
     'quant' collection (estimator carries + quantizer params) batch to batch.
 
@@ -33,6 +70,10 @@ def calibrate(model, variables: dict, batches: Iterable, *,
     ``donate=True`` donates the quant-state buffers between steps — it also
     invalidates ``variables['quant']`` held by the caller, so only enable it
     when the input dict is throwaway.
+
+    ``stop_after`` calibrates only the layers up to and including the named
+    module and dead-code-eliminates the rest of the forward (the reference's
+    StopForwardException partial-forward mode; see partial_quant_updates).
     """
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -40,6 +81,9 @@ def calibrate(model, variables: dict, batches: Iterable, *,
         _, updates = model.apply(
             {**variables, "quant": quant_state}, x, mode="calibrate",
             quant_w=quant_w, quant_a=quant_a, mutable=["quant"])
+        if stop_after is not None:
+            return partial_quant_updates(updates["quant"], quant_state,
+                                         stop_after)
         return updates["quant"]
 
     quant_state = variables["quant"]

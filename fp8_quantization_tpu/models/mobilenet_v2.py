@@ -91,6 +91,11 @@ class QuantizedMobileNetV2(nn.Module):
     dw_config: Optional[LayerQuantConfig] = None         # depthwise convs
     block_act_config: Optional[LayerQuantConfig] = None  # residual-add quant
     tie_avgpool: bool = True
+    # classifier dropout (reference mobilenet_v2.py:69,107 — nn.Dropout
+    # before the linear head; default 0.0 so PTQ parity is unaffected, the
+    # paper's QAT fine-tune recipe sets it >0).  Active in training forwards
+    # (train_bn=True) and draws from the 'dropout' rng stream.
+    dropout_rate: float = 0.0
 
     def weight_spec_fn(self):
         """Param-path -> weight QuantizerSpec, resolving quant_setup preset
@@ -156,6 +161,14 @@ class QuantizedMobileNetV2(nn.Module):
             x = head_q(x, mode=mode, quant_a=quant_a, update_range=False,
                        out=kw.get("out", "value"))
 
+        if self.dropout_rate > 0.0:
+            from fp8_quantization_tpu.nn.factored import Factored
+            drop = nn.Dropout(rate=self.dropout_rate)
+            if isinstance(x, Factored):   # dropout scales by 1/keep: commutes
+                x = Factored(drop(x.norm, deterministic=not train_bn), x.factor)
+            else:
+                x = drop(x, deterministic=not train_bn)
+
         x = QuantLinear(features=self.num_classes, use_bias=True,
                         config=self.fc_config or cfg, name="classifier")(
             x, **{**kw, "out": "value"})   # logits stay a plain array
@@ -204,7 +217,8 @@ def mobilenet_v2_configs(base: LayerQuantConfig, quant_setup: Optional[str]):
 
 def mobilenetv2_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
                           num_classes: int = 1000, width_mult: float = 1.0,
-                          settings=INVERTED_RESIDUAL_SETTING) -> QuantizedMobileNetV2:
+                          settings=INVERTED_RESIDUAL_SETTING,
+                          dropout_rate: float = 0.0) -> QuantizedMobileNetV2:
     return QuantizedMobileNetV2(num_classes=num_classes, width_mult=width_mult,
-                                settings=settings,
+                                settings=settings, dropout_rate=dropout_rate,
                                 **mobilenet_v2_configs(base, quant_setup))

@@ -20,7 +20,9 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from fp8_quantization_tpu.nn import factored
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
+from fp8_quantization_tpu.nn.factored import Factored
 from fp8_quantization_tpu.nn.layers import (
     QuantConv, QuantLayerNorm, QuantLinear, QuantizedActivation)
 
@@ -34,7 +36,9 @@ class QuantSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, **kw):
-        b, n, d = x.shape
+        # x may arrive Factored (ln1's fixed-mode fast path); the qkv layer
+        # consumes it directly — only the shape is read here
+        b, n, d = (x.norm if isinstance(x, Factored) else x).shape
         h = self.num_heads
         hd = d // h
 
@@ -62,17 +66,27 @@ class QuantEncoderBlock(nn.Module):
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False):
         kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a)
-        y = QuantLayerNorm(config=self.config, name="ln1")(x, **kw)
+        # Fixed-mode fast interchange (nn/factored.py, matching
+        # models/resnet.py): quant outputs whose consumer is a matmul — the
+        # LN outputs feeding qkv/mlp1 and the MLP hidden activation feeding
+        # mlp2 — emit Factored(norm bf16, factor) so the consumer feeds the
+        # exact normalized grid to the MXU via the cast/pallas fast paths.
+        # Outputs consumed by fp32 arithmetic (attention math, residual
+        # adds) stay plain arrays.
+        fkw = dict(kw)
+        if mode == "fixed" and self.config.engine in ("bf16", "pallas"):
+            fkw["out"] = "factored"
+        y = QuantLayerNorm(config=self.config, name="ln1")(x, **fkw)
         y = QuantSelfAttention(dim=self.dim, num_heads=self.num_heads,
                                config=self.config, name="attn")(y, **kw)
         x = x + y
         x = QuantizedActivation(config=self.config, name="res1_act")(
             x, mode=mode, quant_a=quant_a)
 
-        y = QuantLayerNorm(config=self.config, name="ln2")(x, **kw)
+        y = QuantLayerNorm(config=self.config, name="ln2")(x, **fkw)
         y = QuantLinear(features=self.dim * self.mlp_ratio, use_bias=True,
                         activation="gelu", config=self.config,
-                        name="mlp1")(y, **kw)
+                        name="mlp1")(y, **fkw)
         y = QuantLinear(features=self.dim, use_bias=True, config=self.config,
                         name="mlp2")(y, **kw)
         x = x + y
@@ -119,11 +133,16 @@ class QuantizedViT(nn.Module):
                                   mlp_ratio=self.mlp_ratio,
                                   config=self.config, name=f"block{i}")(x, **bkw)
 
-        x = QuantLayerNorm(config=self.config, name="ln_final")(
-            x, mode=mode, quant_w=quant_w, quant_a=quant_a)
+        fkw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a)
+        if mode == "fixed" and self.config.engine in ("bf16", "pallas"):
+            fkw["out"] = "factored"
+        x = QuantLayerNorm(config=self.config, name="ln_final")(x, **fkw)
+        # cls-token slice commutes with the per-tensor factor
+        norm, fac = factored.split(x)
+        x = norm[:, 0] if fac is None else Factored(norm[:, 0], fac)
         return QuantLinear(features=self.num_classes, use_bias=True,
                            config=self.head_config or self.config,
-                           name="head")(x[:, 0], mode=mode, quant_w=quant_w,
+                           name="head")(x, mode=mode, quant_w=quant_w,
                                         quant_a=quant_a)
 
 

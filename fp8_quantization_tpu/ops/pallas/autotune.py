@@ -32,8 +32,7 @@ MODE = os.environ.get("FP8TPU_PALLAS_AUTOTUNE", "auto")
 
 _CACHE: Dict[Tuple[int, int, int], bool] = {}
 # v2: conv tags ('c', 'c2', 'ig*') hold the chosen group size (0 = XLA)
-_CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE",
-                             "/tmp/fp8tpu_autotune_v4.json")
+_CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE")   # explicit override
 # v3: kernels compile under an explicit 96 MiB scoped-VMEM limit (probes at
 # 80 MiB) — v2 entries were measured under Mosaic's 16 MiB default and both
 # the winning groups and the fused-vs-XLA verdicts can differ.
@@ -41,6 +40,22 @@ _CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE",
 # fallbacks (probe constants became ambient tracers); the probes now run
 # entirely under ensure_compile_time_eval, so v3 verdicts are invalid.
 _DISK_LOADED = False
+
+
+def _cache_path() -> str:
+    """Per-device-kind cache file: verdicts measured on one TPU generation
+    (VMEM budget, MXU rate, XLA conv tiling) must not be reused on another
+    — the attached device's kind is part of the cache identity."""
+    if _CACHE_PATH:
+        return _CACHE_PATH
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except RuntimeError:
+        kind = "unknown"
+    kind = "".join(c if c.isalnum() else "_" for c in kind)
+    return f"/tmp/fp8tpu_autotune_v4_{kind}.json"
 
 
 def decisions() -> Dict[Tuple[int, int, int], bool]:
@@ -73,7 +88,7 @@ def _load_disk_cache() -> None:
     global _DISK_LOADED
     _DISK_LOADED = True
     try:
-        with open(_CACHE_PATH) as f:
+        with open(_cache_path()) as f:
             for key, win in json.load(f).items():
                 parts = key.split(":")
                 dims = tuple(int(v) for v in parts[-1].split("x"))
@@ -94,10 +109,11 @@ def _save_disk_cache() -> None:
                 data[f"{key[0]}:" + "x".join(str(v) for v in key[1:])] = win
             else:
                 data["x".join(str(v) for v in key)] = win
-        tmp = f"{_CACHE_PATH}.{os.getpid()}"
+        path = _cache_path()
+        tmp = f"{path}.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(data, f)
-        os.replace(tmp, _CACHE_PATH)
+        os.replace(tmp, path)
     except OSError:
         pass
 

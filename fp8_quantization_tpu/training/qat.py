@@ -228,9 +228,12 @@ def make_train_step(model, aux: Dict, *, mode: str = "learn",
                          "quant": merge_quant(qtrain, state.quant_frozen)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            # per-step rng stream for stochastic-rounding discretizers
+            # per-step rng streams: stochastic-rounding discretizers +
+            # classifier dropout (models/mobilenet_v2.py dropout_rate)
             rngs = {"quant_noise": jax.random.fold_in(
-                jax.random.PRNGKey(17), state.step)}
+                        jax.random.PRNGKey(17), state.step),
+                    "dropout": jax.random.fold_in(
+                        jax.random.PRNGKey(23), state.step)}
             return model.apply(
                 variables, x, mode=mode, train_bn=train_bn, mutable=mutable,
                 rngs=rngs)

@@ -129,3 +129,56 @@ def test_mse_int_path():
     _, lo, hi, upd = est.update(spec, qspec, state,
                                 _view(np.random.RandomState(4).normal(0, 1, 1024)))
     assert float(hi) > 0 and upd == {}
+
+
+def test_calibrate_stop_after_partial_forward():
+    """Partial-forward calibration (reference StopForwardException,
+    quantization/utils.py:108-113): layers after the target keep their
+    pre-batch state and their compute is dead-code-eliminated."""
+    import jax
+    import numpy as np
+
+    from fp8_quantization_tpu.calibration.calibrate import (
+        calibrate, partial_quant_updates)
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from tests._tiny import TinyModel
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_set_maxval=True,
+        weight_range_method="current_minmax", act_range_method="allminmax")
+    model = TinyModel(config=cfg)
+    x = jnp.asarray(np.random.RandomState(0).normal(0, 1, (2, 16, 16, 3)),
+                    jnp.float32)
+    v0 = model.init(jax.random.PRNGKey(0), x)
+
+    part = calibrate(model, v0, [x], stop_after="conv1")
+    full = calibrate(model, v0, [x])
+
+    # conv1 calibrated identically to the full pass
+    jax.tree.map(np.testing.assert_allclose,
+                 part["quant"]["conv1"], full["quant"]["conv1"])
+    # conv2 / fc untouched (pre-batch state)
+    jax.tree.map(np.testing.assert_allclose,
+                 part["quant"]["conv2"], v0["quant"]["conv2"])
+    jax.tree.map(np.testing.assert_allclose,
+                 part["quant"]["fc"], v0["quant"]["fc"])
+
+    # the downstream compute is actually ELIMINATED, not just discarded
+    def step(stop):
+        def f(qs, xx):
+            _, upd = model.apply({**v0, "quant": qs}, xx, mode="calibrate",
+                                 mutable=["quant"])
+            q = upd["quant"]
+            return partial_quant_updates(q, qs, stop) if stop else q
+        return jax.jit(f).lower(v0["quant"], x).compile().cost_analysis()
+
+    ca_full, ca_part = step(None), step("conv1")
+    ca_full = ca_full[0] if isinstance(ca_full, (list, tuple)) else ca_full
+    ca_part = ca_part[0] if isinstance(ca_part, (list, tuple)) else ca_part
+    assert ca_part["flops"] < 0.7 * ca_full["flops"], (
+        ca_part["flops"], ca_full["flops"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="matched no module"):
+        calibrate(model, v0, [x], stop_after="nope")

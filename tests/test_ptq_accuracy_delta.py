@@ -96,7 +96,10 @@ def test_ptq_top1_delta_small(trained, cfg_name):
     q_metrics = evaluate(qmodel, qvars, batches)
 
     delta = fp32_metrics["top_1_accuracy"] - q_metrics["top_1_accuracy"]
-    assert delta <= 0.05, (cfg_name, fp32_metrics, q_metrics)
+    # measured headroom: every config passes at 0 delta on this task
+    # (VERDICT r2 weak 9: 5% was loose enough to hide a real regression);
+    # the paper's real-data deltas are sub-1%, so hold synthetic PTQ to 2%.
+    assert delta <= 0.02, (cfg_name, fp32_metrics, q_metrics)
 
 
 def test_ptq_delta_engine_consistency(trained):

