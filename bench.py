@@ -1,34 +1,26 @@
 #!/usr/bin/env python
-"""Throughput benchmark: FP8 PTQ ResNet-18 inference, images/sec/chip.
+"""Throughput benchmark of the deployed quantized models, images/sec/chip.
 
-Deployment path: calibrated model passed through
-``nn.bake.prepare_for_deployment`` — weights pre-baked onto the normalized
-bf16 grid (per-step weight-quant chain gone), quantizer scalar algebra
-frozen into 'qprep', activations exchanged as Factored(norm bf16, factor)
-pairs between layers (nn/factored.py), fake-quant evaluated by the
-hardware-cast fast path (ops/fp8.fp8_quantize_cast — bit-exact vs the
-reference grid, tests/test_cast_quant.py).  One knowing numerics choice:
-``conv_out_bf16=True`` stores conv outputs in bf16 inside the fused quant
-epilogue (a ~2^-9 relative rounding, 16x below the FP8 quantizer's own
-2^-5 step; accuracy deltas pinned by tests/test_factored.py and
-tests/test_ptq_accuracy_delta.py) — set it False for forwards bit-identical
-to the calibrate-time fixed-mode path (tests/test_prepare.py,
-tests/test_factored.py).
+Emits ONE JSON line per benchmark config — MobileNetV2 FP8 (+IEEE-f8
+activation storage), ResNet-18 INT8 (XLA-native s8 MXU datapath, baked
+integer weights), and LAST the headline ResNet-18 FP8 deployment (kept last
+so the driver's parsed metric stays comparable across rounds).  Each line:
+{"metric", "value", "unit", "vs_baseline", ...} where ``vs_baseline`` is
+the ratio of quantized throughput to the UNQUANTIZED fp32 forward of the
+same model on the same chip, timed in interleaved windows (the dev-tunnel
+chip drifts ~2x across minutes; alternation keeps the ratio honest).  The
+reference publishes no throughput numbers (BASELINE.md), so fp32-on-chip is
+the measurable baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-``vs_baseline`` is the ratio of FP8 fake-quantized throughput to the FP32
-(unquantized) forward of the same model on the same chip — the cost of
-simulated quantization, which the fused deployment path drives toward 1.0.
-The reference publishes no throughput numbers (BASELINE.md), so FP32-on-chip
-is the measurable baseline.  Extra keys (VERDICT r1 item 4): achieved
-TFLOP/s and MFU vs the v5e's ~197 TF/s bf16 peak.
-
-Inputs are generated ON DEVICE (jax.random) — the axon dev tunnel uploads
-at ~2 MB/s, which previously capped the bench at batch 128; batch 512 keeps
-the chip fed and reflects deployment batch sizes.
+Deployment path per model: calibrated -> ``nn.bake`` transforms (weights
+pre-baked onto the normalized/integer grid, quantizer scalar algebra frozen
+into 'qprep'), activations exchanged as Factored pairs, fake-quant via the
+hardware-cast fast path (bit-exact vs the reference grid,
+tests/test_cast_quant.py).  MFU is vs the v5e's ~197 TF/s bf16 peak.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -39,19 +31,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 V5E_BF16_PEAK = 197e12
-# fwd pass, 224x224, multiply-accumulate counted as 2 flops.  ResNet-18 is
-# 1.824 GMACs; round-2 audit (tools/roofline.py summing every convolution's
-# literal HLO shapes: 1857.6 GF at batch 512) confirmed 3.648 GF/image —
-# the round-1 value 1.824 was the MAC count, understating TF/s and MFU 2x.
-RESNET18_GFLOP = 3.648
+# fwd pass, 224x224, multiply-accumulate counted as 2 flops (MAC counts
+# audited via tools/roofline.py HLO sums: resnet18 = 1.824 GMACs).
+MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628}
+
+T0 = time.perf_counter()
+
+
+def mark(msg):
+    print(f"[bench +{time.perf_counter() - T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _bench_pair(fn_a, fn_b, args, iters=10, warmup=3, repeats=4):
-    """Median times of two functions with INTERLEAVED windows (A B A B ...).
-
-    The dev-tunnel TPU drifts up to ~2x across minutes; timing the two
-    candidates back-to-back in alternating windows keeps their ratio honest
-    where sequential blocks would not."""
+    """Median times of two functions with INTERLEAVED windows (A B A B ...)."""
     for fn in (fn_a, fn_b):
         for _ in range(warmup):
             out = fn(*args)
@@ -64,67 +57,90 @@ def _bench_pair(fn_a, fn_b, args, iters=10, warmup=3, repeats=4):
                 out = fn(*args)
             jax.block_until_ready(out)
             times[idx].append((time.perf_counter() - t0) / iters)
-    med = lambda ts: sorted(ts)[len(ts) // 2]
+    med = lambda ts: sorted(ts)[len(ts) // 2]  # noqa: E731
     return med(times[0]), med(times[1])
 
 
-def main():
+def bench_model(metric, arch, batch, config, *, qscheme="fp8"):
+    """Calibrate -> bake -> time quantized vs fp32 forward; emit one line."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
-    from fp8_quantization_tpu.models import resnet18_quantized
-    from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
+    from fp8_quantization_tpu.models import (mobilenetv2_quantized,
+                                             resnet18_quantized)
+
+    ctor = {"resnet18": resnet18_quantized,
+            "mobilenet_v2": mobilenetv2_quantized}[arch]
+    model = ctor(config, num_classes=1000)
+
+    key = jax.random.PRNGKey(0)
+    # inputs generated ON DEVICE (the axon tunnel uploads ~2 MB/s)
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1, :64, :64, :])
+    mark(f"{metric}: init done")
+    variables = calibrate(model, variables, [x[:128]])
+    mark(f"{metric}: calibration done")
+    if qscheme == "int8":
+        # baked integer weights: the s8 datapath consumes the stored grid
+        from fp8_quantization_tpu.nn.bake import bake_int8_weights_host
+        variables = bake_int8_weights_host(model, variables)
+        quant_w = True          # int8 keeps the standard call convention
+    else:
+        # host-side: eager per-op dispatch over the tunnel is latency-bound
+        from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
+        variables = prepare_for_deployment_host(model, variables)
+        quant_w = False
+    mark(f"{metric}: bake/prepare done")
+
+    q_fn = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed",
+                                             quant_w=quant_w))
+    fp32_fn = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed",
+                                                quant_w=False, quant_a=False))
+    t_q, t_fp32 = _bench_pair(q_fn, fp32_fn, (variables, x))
+
+    flops = MODEL_GFLOP[arch] * 1e9 * batch
+    line = {
+        "metric": metric,
+        "value": round(batch / t_q, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(t_fp32 / t_q, 4),
+        "tflops": round(flops / t_q / 1e12, 1),
+        "mfu": round(flops / t_q / V5E_BF16_PEAK, 4),
+        "fp32_img_per_s": round(batch / t_fp32, 1),
+        "batch": batch,
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def main():
     from fp8_quantization_tpu.nn.config import make_layer_config
 
-    batch = 512
-    config = make_layer_config(
+    fp8_kw = dict(
         qmethod="fp_quantizer", per_channel_weights=True, fp8_mantissa_bits=4,
         fp8_set_maxval=True, weight_range_method="current_minmax",
         act_range_method="allminmax", engine="bf16",
         deploy_cast_quant=True,   # bit-exact hardware-cast epilogues
-        # (ops/fp8.fp8_quantize_cast; pinned by tests/test_cast_quant.py)
-        conv_out_bf16=True)       # bf16 conv store into the fused quant
-        # epilogue: 6.2 vs 11.0 GB/step at batch 512 (bench_profile)
-    model = resnet18_quantized(config, num_classes=1000)
+        conv_out_bf16=True)       # bf16 conv stores into fused quant epilogues
 
-    import sys
+    # MobileNetV2 FP8 + IEEE-f8 activation storage (best measured fp8
+    # config for this model; RESULTS.md round-3 A/B)
+    bench_model("mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
+                256, make_layer_config(**{**fp8_kw, "deploy_act_f8": True}))
 
-    t_start = time.perf_counter()
+    # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights
+    bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 512,
+                make_layer_config(
+                    qmethod="symmetric_uniform",
+                    act_qmethod="asymmetric_uniform",
+                    per_channel_weights=True, quantize_input=True,
+                    weight_range_method="current_minmax",
+                    act_range_method="allminmax", engine="bf16",
+                    int8_mxu=True),
+                qscheme="int8")
 
-    def mark(msg):
-        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}",
-              file=sys.stderr, flush=True)
-
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1, :64, :64, :])
-    mark("init done")
-    variables = calibrate(model, variables, [x[:128]])
-    mark("calibration done")
-    # prepare runs EAGERLY (cast-const eligibility needs concrete values);
-    # eager per-op dispatch through the dev tunnel is LATENCY-bound, so the
-    # transform runs on the host CPU backend and ships the prepared
-    # variables to the device once (~50 MB).
-    variables = prepare_for_deployment_host(model, variables)
-    mark("deployment prepare done (host-side)")
-
-    fp8_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
-                                              quant_w=False))
-    fp32_fn = jax.jit(lambda v, x: model.apply(v, x, mode="fixed",
-                                               quant_w=False, quant_a=False))
-
-    t_fp8, t_fp32 = _bench_pair(fp8_fn, fp32_fn, (variables, x))
-
-    ips = batch / t_fp8
-    model_flops = RESNET18_GFLOP * 1e9 * batch
-    print(json.dumps({
-        "metric": "resnet18_fp8_ptq_throughput_per_chip",
-        "value": round(ips, 1),
-        "unit": "images/sec",
-        "vs_baseline": round((batch / t_fp8) / (batch / t_fp32), 4),
-        "tflops": round(model_flops / t_fp8 / 1e12, 1),
-        "mfu": round(model_flops / t_fp8 / V5E_BF16_PEAK, 4),
-        "fp32_img_per_s": round(batch / t_fp32, 1),
-        "batch": batch,
-    }))
+    # headline LAST: ResNet-18 FP8 deployment (driver parses the last line;
+    # metric name/config unchanged from round 2 for comparability)
+    bench_model("resnet18_fp8_ptq_throughput_per_chip", "resnet18", 512,
+                make_layer_config(**fp8_kw))
 
 
 if __name__ == "__main__":

@@ -58,24 +58,134 @@ class QuantInvertedResidual(nn.Module):
         hidden = round(inp * self.expand_ratio)
         use_res = self.strides == (1, 1) and inp == self.features
 
-        y = x
+        expand_mod = None
         if self.expand_ratio != 1:
-            y = QuantConv(features=hidden, kernel_size=(1, 1), strides=(1, 1),
-                          padding=((0, 0), (0, 0)), bn=True, activation="relu6",
-                          config=self.config, name="expand")(y, **kw)
-        y = QuantConv(features=hidden, kernel_size=(3, 3), strides=self.strides,
-                      padding=((1, 1), (1, 1)), feature_group_count=hidden,
-                      bn=True, activation="relu6",
-                      config=self.dw_config or self.config, name="dw")(y, **kw)
-        y = QuantConv(features=self.features, kernel_size=(1, 1), strides=(1, 1),
-                      padding=((0, 0), (0, 0)), bn=True, activation=None,
-                      config=self.config, name="project")(y, **kw)
+            expand_mod = QuantConv(
+                features=hidden, kernel_size=(1, 1), strides=(1, 1),
+                padding=((0, 0), (0, 0)), bn=True, activation="relu6",
+                config=self.config, name="expand")
+        dw_mod = QuantConv(
+            features=hidden, kernel_size=(3, 3), strides=self.strides,
+            padding=((1, 1), (1, 1)), feature_group_count=hidden,
+            bn=True, activation="relu6",
+            config=self.dw_config or self.config, name="dw")
+        proj_mod = QuantConv(
+            features=self.features, kernel_size=(1, 1), strides=(1, 1),
+            padding=((0, 0), (0, 0)), bn=True, activation=None,
+            config=self.config, name="project")
+        blk_mod = None
+        if use_res:
+            blk_mod = QuantizedActivation(
+                config=self.block_act_config or self.config, name="block_act")
+
+        # whole-block fused kernel (ops/pallas/qblock.py): all three stages
+        # + quant epilogues in VMEM per group of images, gated by on-device
+        # measurement.  Falls through to the per-layer path when the block
+        # is not in baked deployment state or the gate says XLA.
+        if mode == "fixed" and not train_bn and self.config.engine == "pallas":
+            y = self._fused_forward(x, expand_mod, dw_mod, proj_mod, blk_mod,
+                                    hidden, use_res, mode, quant_w, quant_a,
+                                    train_bn, out)
+            if y is not None:
+                return y
+
+        y = x
+        if expand_mod is not None:
+            y = expand_mod(y, **kw)
+        y = dw_mod(y, **kw)
+        y = proj_mod(y, **kw)
 
         if use_res:
             y = fadd(x, y)
-            y = QuantizedActivation(config=self.block_act_config or self.config,
-                                    name="block_act")(y, mode=mode,
-                                                      quant_a=quant_a, out=out)
+            y = blk_mod(y, mode=mode, quant_a=quant_a, out=out)
+        return y
+
+    def _fused_forward(self, x, expand_mod, dw_mod, proj_mod, blk_mod,
+                       hidden, use_res, mode, quant_w, quant_a, train_bn,
+                       out):
+        """Assemble and launch the fused inverted-residual kernel, or None.
+
+        Stage scales are assembled exactly as the unfused factored path
+        folds them (nn/layers._deploy_scale): each stage's epilogue scale
+        carries its baked weight factor, its BN inverse, and the UPSTREAM
+        stage's activation factor; shifts stay unscaled.
+        """
+        import jax.numpy as jnp
+
+        from fp8_quantization_tpu.nn import factored as fct
+        from fp8_quantization_tpu.nn.factored import Factored
+        from fp8_quantization_tpu.ops.pallas import autotune as at
+        from fp8_quantization_tpu.ops.pallas.qblock import (
+            FusedBlockConfig, fused_inverted_residual)
+
+        xv, xf = fct.split(x)
+        if xv.ndim != 4 or xv.shape[-1] < 8:
+            return None
+        n, H, W, cin = xv.shape
+        stride = self.strides[0]
+        if self.strides != (stride, stride) or stride not in (1, 2):
+            return None
+        if stride == 2 and (H % 2 or W % 2):
+            return None
+
+        kwf = dict(mode=mode, quant_w=quant_w, quant_a=quant_a,
+                   train_bn=train_bn, out="fused_state")
+        st1 = expand_mod(xv, **kwf) if expand_mod is not None else None
+        if expand_mod is not None and st1 is None:
+            return None
+        dummy_h = jnp.zeros((1, 1, 1, hidden), jnp.float32)
+        std = dw_mod(dummy_h, **kwf)
+        stp = proj_mod(dummy_h, **kwf)
+        if std is None or stp is None:
+            return None
+        stb = (blk_mod(xv, mode=mode, quant_a=quant_a, out="fused_state")
+               if use_res else None)
+
+        # VMEM heuristic start: the expanded hidden tensor dominates
+        # (~12 bytes/elem of live temporaries); the gate compile-walks down
+        g0 = min(n, max(1, int(40e6) // (12 * H * W * hidden)))
+        gi = at.ir_group(n, H, cin, hidden, self.features, g0,
+                         stride=stride, expand=expand_mod is not None,
+                         use_res=use_res)
+        if not gi:
+            return None
+
+        one = jnp.asarray(1.0, jnp.float32)
+        xfac = one if xf is None else jnp.asarray(xf, jnp.float32).reshape(())
+        if st1 is not None:
+            w1 = st1["kernel"].reshape(cin, hidden)
+            scale1, shift1 = st1["scale"] * xfac, st1["shift"]
+            f1 = st1["factor"] if st1["factor"] is not None else one
+        else:
+            w1, scale1, shift1 = None, None, None
+            f1 = xfac
+        wd = std["kernel"].reshape(3, 3, hidden)
+        scale_d = std["scale"] * f1
+        fd = std["factor"] if std["factor"] is not None else one
+        w2 = stp["kernel"].reshape(hidden, self.features)
+        scale2 = stp["scale"] * fd
+
+        zeros3 = jnp.zeros((3,), jnp.float32)
+        methods = (st1["a_method"] if st1 else "none", std["a_method"],
+                   stp["a_method"], stb["a_method"] if stb else "none")
+        bits = (st1["n_bits"] if st1 else 8, std["n_bits"], stp["n_bits"],
+                stb["n_bits"] if stb else 8)
+        ascal = jnp.stack([st1["a_scalars"] if st1 else zeros3,
+                           std["a_scalars"], stp["a_scalars"],
+                           stb["a_scalars"] if stb else zeros3])
+
+        final = stb if use_res else stp
+        emit = (out == "factored" and final["a_method"] != "none"
+                and final["factored_ok"])
+        kcfg = FusedBlockConfig(
+            expand=st1 is not None, stride=stride, use_res=use_res,
+            emit_norm=emit, methods=methods, bits=bits, imgs_per_block=gi)
+        y = fused_inverted_residual(
+            xv, w1, wd, w2, ascal, scale1, shift1, scale_d, std["shift"],
+            scale2, stp["shift"], x_factor=xfac if use_res else None,
+            cfg=kcfg)
+        if emit:
+            return Factored(fct.storage_dtype(y), final["factor"])
         return y
 
 

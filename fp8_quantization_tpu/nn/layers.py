@@ -43,6 +43,25 @@ def _maybe_cast(x, w, matmul_dtype):
     return x.astype(matmul_dtype), w.astype(matmul_dtype)
 
 
+def _pack_act_scalars(spec, astate):
+    """(a_method, a_scalars(3,)) from a quantizer spec + state dict: the
+    fused kernels' scalar operand layout (fp8: [maxval, mantissa_bits,
+    sign_bits]; int_asym: [scale, zero_point, 0])."""
+    from fp8_quantization_tpu.ops.quantizer import QMethod
+    from fp8_quantization_tpu.ops.uniform import _scale_from_delta
+
+    if spec.method == QMethod.fp_quantizer:
+        return "fp8", jnp.stack([
+            astate["maxval"].reshape(()),
+            astate["mantissa_bits"].astype(jnp.float32),
+            astate["sign_bits"].astype(jnp.float32)])
+    return "int_asym", jnp.stack([
+        _scale_from_delta(astate["delta"].reshape(()),
+                          spec.scale_domain, spec.eps),
+        astate["zero_float"].reshape(()),
+        jnp.asarray(0.0, jnp.float32)])
+
+
 def _factored_act_ok(cfg: LayerQuantConfig) -> bool:
     """Whether this layer's output-quant can emit a Factored tensor.
 
@@ -302,23 +321,11 @@ class QuantizedLayerBase(nn.Module):
         int_asym -> [scale, zero_point, 0].  'none' when this layer does not
         quantize activations.
         """
-        from fp8_quantization_tpu.ops.quantizer import QMethod
-        from fp8_quantization_tpu.ops.uniform import _scale_from_delta
-
         cfg = self.config
         if not (quant_a and cfg.quant_a):
             return "none", jnp.zeros((3,), jnp.float32)
         _, astate = self._act_quantizer()(x2d, mode=mode, out="state")
-        if cfg.act_quant.method == QMethod.fp_quantizer:
-            return "fp8", jnp.stack([
-                astate["maxval"].reshape(()),
-                astate["mantissa_bits"].astype(jnp.float32),
-                astate["sign_bits"].astype(jnp.float32)])
-        return "int_asym", jnp.stack([
-            _scale_from_delta(astate["delta"].reshape(()),
-                              cfg.act_quant.scale_domain, cfg.act_quant.eps),
-            astate["zero_float"].reshape(()),
-            jnp.asarray(0.0, jnp.float32)])
+        return _pack_act_scalars(cfg.act_quant, astate)
 
     def _act_factor(self, a_method, a_scalars):
         """Per-tensor factor of the Factored output (norm * factor == value)."""
@@ -741,12 +748,47 @@ class QuantConv(QuantizedLayerBase):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
 
+    def _conv_fused_state(self, x, mode, quant_w, quant_a, train_bn):
+        """Deployment introspection for block-level fusion
+        (ops/pallas/qblock.py): this layer's baked normalized kernel, folded
+        epilogue (scale, shift) and output-quant scalars, WITHOUT running
+        the conv — the parent block stitches the stages into one kernel.
+        Returns None when the layer is not in the baked deployment state
+        the block kernel assumes (same gates as the per-layer fused paths).
+        """
+        cfg = self.config
+        x, _ = factored.split(x)
+        in_features = x.shape[-1]
+        if (mode != "fixed" or train_bn or (quant_w and cfg.quant_w)
+                or not self.has_variable("baked", "w_factor")
+                or cfg.quantize_input or cfg.int8_mxu
+                or (self.bn and cfg.bn_mode == "folded")):
+            return None
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (*self.kernel_size, in_features // self.feature_group_count,
+             self.features), jnp.float32)
+        a_method, a_scalars = self._act_quant_scalars(
+            jnp.zeros((1, 8), jnp.float32), mode, quant_a)
+        scale, shift = self._fixed_scale_shift(self.features, self.bn,
+                                               self.bn_eps, self.use_bias)
+        scale = scale * self.get_variable("baked", "w_factor").reshape(-1)
+        return dict(kernel=kernel, scale=scale, shift=shift,
+                    a_method=a_method, a_scalars=a_scalars.reshape(3),
+                    factor=(self._act_factor(a_method, a_scalars)
+                            if a_method != "none" else None),
+                    factored_ok=_factored_act_ok(cfg),
+                    n_bits=cfg.act_quant.n_bits)
+
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False,
                  out: str = "value"):
         if mode == "fp32":
             mode, quant_w, quant_a = "fixed", False, False
+        if out == "fused_state":
+            return self._conv_fused_state(x, mode, quant_w, quant_a,
+                                          train_bn)
         x, x_factor_in = factored.split(x)
         in_features = x.shape[-1]
         kernel = self.param(
@@ -1151,6 +1193,27 @@ class QuantizedActivation(nn.Module):
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_a: bool = True,
                  update_range: bool = True, out: str = "value"):
+        if out == "fused_state":
+            # block-fusion introspection (see QuantConv._conv_fused_state)
+            cfg = self.config
+            if mode == "fixed" and quant_a and cfg.quant_a:
+                q_mod = Quantizer(spec=cfg.act_quant,
+                                  range_spec=cfg.act_range, name="act_q")
+                _, astate = q_mod(jnp.zeros((1, 8), jnp.float32),
+                                  mode="fixed", out="state")
+                a_method, a_scalars = _pack_act_scalars(cfg.act_quant, astate)
+                if a_method == "fp8":
+                    mb = jnp.clip(jnp.round(a_scalars[1]), 1.0,
+                                  cfg.act_quant.n_bits - a_scalars[2])
+                    fac = a_scalars[0] / (2.0 - jnp.exp2(-mb))
+                else:
+                    fac = a_scalars[0]
+            else:
+                a_method = "none"
+                a_scalars, fac = jnp.zeros((3,), jnp.float32), None
+            return dict(a_method=a_method, a_scalars=a_scalars, factor=fac,
+                        factored_ok=_factored_act_ok(self.config),
+                        n_bits=self.config.act_quant.n_bits)
         x = factored.materialize(x)
         if mode != "fp32" and quant_a and self.config.quant_a:
             q_mod = Quantizer(spec=self.config.act_quant,

@@ -560,3 +560,140 @@ def _resolve_dw_group(n: int, h: int, c: int, g0: int, stride: int) -> int:
                 "%.3fms -> %s", n, h, h, c, stride, chosen, t_fused * 1e3,
                 t_xla * 1e3, "FUSED" if win else "XLA")
     return chosen if win else 0
+
+
+def _ir_block_fns(n: int, h: int, cin: int, hid: int, cout: int, g: int,
+                  stride: int, expand: bool, use_res: bool):
+    """(fused, composed, example inputs) for the inverted-residual probe.
+
+    The composed baseline is the unfused deployment chain the block kernel
+    replaces: expand matmul + quant, depthwise conv + quant, project
+    matmul + quant (+ residual + quant) — representative XLA workload, not
+    a bit-exact oracle (tests pin numerics; this races wall-clock)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+    from fp8_quantization_tpu.ops.pallas.common import PROBE_VMEM_LIMIT_BYTES
+    from fp8_quantization_tpu.ops.pallas.qblock import (
+        FusedBlockConfig, fused_inverted_residual)
+
+    rng = np.random.RandomState((h * hid + 3) % 9973)
+    xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, cin)), jnp.float32)
+          for _ in range(2)]
+    w1 = (jnp.asarray(rng.normal(0, 0.1, (cin, hid)), jnp.float32)
+          if expand else None)
+    wd = jnp.asarray(rng.normal(0, 0.1, (3, 3, hid)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.1, (hid, cout)), jnp.float32)
+    ones_h, zeros_h = jnp.ones((hid,)), jnp.zeros((hid,))
+    ones_o, zeros_o = jnp.ones((cout,)), jnp.zeros((cout,))
+    ascal = jnp.tile(jnp.asarray([[6.0, 4.0, 1.0]], jnp.float32), (4, 1))
+    kcfg = FusedBlockConfig(expand=expand, stride=stride, use_res=use_res,
+                            imgs_per_block=g,
+                            vmem_limit=PROBE_VMEM_LIMIT_BYTES)
+
+    @jax.jit
+    def fused(x):
+        return fused_inverted_residual(
+            x, w1, wd, w2, ascal, ones_h if expand else None,
+            zeros_h if expand else None, ones_h, zeros_h, ones_o, zeros_o,
+            x_factor=jnp.asarray(1.0) if use_res else None, cfg=kcfg)
+
+    w1_bf = w1.astype(jnp.bfloat16) if expand else None
+    wd4 = wd.reshape(3, 3, 1, hid).astype(jnp.bfloat16)
+    w2_bf = w2.astype(jnp.bfloat16)
+    q = lambda y: quantize_to_fp8(y, jnp.asarray(6.0), 4.0)   # noqa: E731
+
+    @jax.jit
+    def composed(x):
+        y = x
+        if expand:
+            y = jnp.dot(y.astype(jnp.bfloat16), w1_bf,
+                        preferred_element_type=jnp.float32)
+            y = q(jnp.clip(y, 0.0, 6.0))
+        y = jax.lax.conv_general_dilated(
+            y.astype(jnp.bfloat16), wd4, (stride, stride), ((1, 1), (1, 1)),
+            feature_group_count=hid,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = q(jnp.clip(y, 0.0, 6.0))
+        y = jnp.dot(y.astype(jnp.bfloat16), w2_bf,
+                    preferred_element_type=jnp.float32)
+        y = q(y)
+        if use_res:
+            y = q(y + x)
+        return y
+
+    return fused, composed, xs
+
+
+def ir_group(n: int, h: int, cin: int, hid: int, cout: int, g0: int,
+             stride: int = 1, expand: bool = True,
+             use_res: bool = False) -> int:
+    """Group size for the fused inverted-residual block, or 0 for unfused.
+
+    Same empirical protocol as conv3_group: walk divisors of ``n`` downward
+    from ``g0`` until the kernel compiles within the VMEM budget (the
+    expanded hidden tensor dominates and resists static modeling), then
+    keep the group only if the fused block beats the composed chain it
+    replaces.  Cached per shape (tag 'irb', value = group, 0 = unfused).
+    """
+    if MODE == "never" or MODE == "heuristic":
+        return 0
+
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
+        return max(1, g0)
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = (("irb" + ("2" if stride == 2 else "")
+            + ("r" if use_res else "") + ("" if expand else "x")
+            + ("!" if MODE == "always" else "")),
+           n, h, cin, hid, cout, g0)
+    if key not in _CACHE:
+        _CACHE[key] = _off_trace(_resolve_ir_group, n, h, cin, hid, cout,
+                                 g0, stride, expand, use_res)
+        _save_disk_cache()
+    logger.info("ir-block gate (%d,%dx%d,%d->%d->%d,s%d) -> g=%d", n, h, h,
+                cin, hid, cout, stride, _CACHE[key])
+    return int(_CACHE[key])
+
+
+def _resolve_ir_group(n: int, h: int, cin: int, hid: int, cout: int,
+                      g0: int, stride: int, expand: bool,
+                      use_res: bool) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    groups = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    chosen, fused, composed, xs = 0, None, None, None
+    for g in groups:
+        try:
+            fused, composed, xs = _ir_block_fns(n, h, cin, hid, cout, g,
+                                                stride, expand, use_res)
+            shape = jax.ShapeDtypeStruct((n, h, h, cin), jnp.float32)
+            fused.lower(shape).compile()
+            chosen = g
+            break
+        except Exception as exc:            # VMEM exhaustion at this group
+            logger.info("ir-block (%d,%dx%d,%d->%d->%d,s%d) g=%d: %s", n, h,
+                        h, cin, hid, cout, stride, g, str(exc)[:120])
+    if chosen == 0:
+        return 0
+    if MODE == "always":
+        return chosen
+    try:
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
+    except Exception as exc:
+        logger.warning("ir-block autotune (%d,%d,%d,%d,%d,s%d) failed: %s",
+                       n, h, cin, hid, cout, stride, exc)
+        return 0
+    win = t_fused < t_xla
+    logger.info("ir-block autotune (%d,%dx%d,%d->%d->%d,s%d) g=%d: fused "
+                "%.3fms vs xla %.3fms -> %s", n, h, h, cin, hid, cout,
+                stride, chosen, t_fused * 1e3, t_xla * 1e3,
+                "FUSED" if win else "XLA")
+    return chosen if win else 0
