@@ -121,10 +121,12 @@ def main():
         deploy_cast_quant=True,   # bit-exact hardware-cast epilogues
         conv_out_bf16=True)       # bf16 conv stores into fused quant epilogues
 
-    # MobileNetV2 FP8 + IEEE-f8 activation storage (best measured fp8
-    # config for this model; RESULTS.md round-3 A/B)
+    # MobileNetV2 FP8, bf16 normalized stores — the best measured fp8
+    # config for this model (round-3 sweep: 12.35ms vs act-f8 13.71ms vs
+    # fp32 8.37ms at batch 256; act-f8 halves bytes but MNv2 is not
+    # bandwidth-bound and the f8 stores block epilogue fusion)
     bench_model("mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
-                256, make_layer_config(**{**fp8_kw, "deploy_act_f8": True}))
+                256, make_layer_config(**fp8_kw))
 
     # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights
     bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 512,

@@ -71,11 +71,20 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
     x = _SETUP_CACHE["x"]
     fmt = ("parity" if engine == "parity" else "factored") + (
         "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "")
+    import sys
+
+    def _mark(msg):
+        print(f"[profile]   {msg}", file=sys.stderr, flush=True)
+
     if fmt not in _SETUP_CACHE:
         # jitted: eager init is per-op LATENCY-bound over the axon tunnel
         # (hundreds of dispatches -> minutes for MobileNetV2)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:8])
+        jax.block_until_ready(variables)
+        _mark("init done")
         variables = calibrate(model, variables, [x[:8]])
+        jax.block_until_ready(variables["quant"])
+        _mark("calibrate done")
         if qscheme == "int8":
             # baked-int8 weights: kernels consume the stored integer grid
             # (w_prequant) — no weight quant chain in the step
@@ -84,6 +93,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
         else:
             # eager transform -> host backend (latency over the tunnel)
             _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)
+        _mark("bake/prepare done")
     return model, _SETUP_CACHE[fmt], x
 
 

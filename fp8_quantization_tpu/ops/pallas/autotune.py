@@ -667,7 +667,14 @@ def _resolve_ir_group(n: int, h: int, cin: int, hid: int, cout: int,
     import jax
     import jax.numpy as jnp
 
-    groups = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    # halve between attempts (each failed compile costs ~a minute over a
+    # dev tunnel): g0, ~g0/2, ~g0/4, ..., 1 — O(log g0) compiles, not O(g0)
+    divs = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    groups, want = [], max(1, g0)
+    for g in divs:
+        if g <= want:
+            groups.append(g)
+            want = max(1, g // 2)
     chosen, fused, composed, xs = 0, None, None, None
     for g in groups:
         try:

@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--cin", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=96)
     ap.add_argument("--stride", type=int, default=2)
+    ap.add_argument("--reduce", action="store_true",
+                    help="scalar ROOT: exclude the dw output from the big-tensor scan")
     args = ap.parse_args()
     N, H, CI, CH = args.batch, args.spatial, args.cin, args.hidden
 
@@ -126,7 +128,10 @@ def main():
     for name, (epi, store_dt) in variants.items():
         def f(xx, ww, dd, s, _epi=epi, _dt=store_dt):
             e = epi_none_store = _epi(expand(xx, ww, s)).astype(_dt)
-            return dw(e, dd)
+            y = dw(e, dd)
+            # --reduce: scalar ROOT so the dw output can't pose as a big
+            # ENTRY tensor (at stride 1 it has the expanded shape too)
+            return y.sum() if args.reduce else y
         try:
             txt = jax.jit(f).lower(x, w1, d, scale).compile().as_text()
         except Exception as exc:
