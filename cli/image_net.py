@@ -62,10 +62,12 @@ def _quant_options(f):
         click.option("--per-channel/--no-per-channel", default=False),
         click.option("--percentile", type=float, default=None),
         click.option("--weight-quant-method", type=click.Choice(
-            ["current_minmax", "allminmax", "running_minmax", "MSE"]),
+            ["current_minmax", "allminmax", "running_minmax", "MSE",
+             "line_search"]),   # per-channel 1-D grid line search
             default="current_minmax"),
         click.option("--act-quant-method", type=click.Choice(
-            ["current_minmax", "allminmax", "running_minmax", "MSE"]),
+            ["current_minmax", "allminmax", "running_minmax", "MSE",
+             "line_search"]),
             default="allminmax"),
         click.option("--act-momentum", type=float, default=None),
         click.option("--num-candidates", type=int, default=None,
