@@ -116,6 +116,11 @@ def main():
                     help="comma-separated variant-name substrings to keep "
                          "(fp32_bf16ops always kept as the baseline); use to "
                          "fit an A/B into one tunnel window")
+    ap.add_argument("--no-baseline", action="store_true",
+                    help="skip the fp32 baseline build too (axon compiles "
+                         "are NOT cached across processes — a single-variant "
+                         "absolute measurement avoids rebuilding fp32 when "
+                         "its number is already known)")
     args = ap.parse_args()
 
     keep = args.variants.split(",") if args.variants else None
@@ -126,8 +131,10 @@ def main():
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
             qscheme="fp8"):
-        if (keep is not None and name != "fp32_bf16ops"
-                and not any(s in name for s in keep)):
+        if name == "fp32_bf16ops":
+            if args.no_baseline:
+                return
+        elif keep is not None and not any(s in name for s in keep):
             return
         import sys
         print(f"[profile] building {name}", file=sys.stderr, flush=True)
