@@ -91,8 +91,13 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             from fp8_quantization_tpu.nn.bake import bake_int8_weights_host
             _SETUP_CACHE[fmt] = bake_int8_weights_host(model, variables)
         else:
-            # eager transform -> host backend (latency over the tunnel)
-            _SETUP_CACHE[fmt] = prepare_for_deployment_host(model, variables)
+            # eager transform -> host backend (latency over the tunnel).
+            # ViT: pos_embed is input-size-bound, so the transform's example
+            # must match the bench resolution (CNNs only need stride depth).
+            shape = ((1, 224, 224, 3) if arch == "vit_small"
+                     else (1, 64, 64, 3))
+            _SETUP_CACHE[fmt] = prepare_for_deployment_host(
+                model, variables, example_shape=shape)
         _mark("bake/prepare done")
     return model, _SETUP_CACHE[fmt], x
 
@@ -134,7 +139,9 @@ def main():
         if name == "fp32_bf16ops":
             if args.no_baseline:
                 return
-        elif keep is not None and not any(s in name for s in keep):
+        elif keep is not None and not any(
+                name == s[1:] if s.startswith("=") else s in name
+                for s in keep):
             return
         import sys
         print(f"[profile] building {name}", file=sys.stderr, flush=True)
