@@ -121,6 +121,47 @@ class QuantizedResNet(nn.Module):
 
         return fn
 
+    def _fused_stem(self, stem_mod, x, mode, quant_w, quant_a, train_bn,
+                    out):
+        """Launch the fused stem kernel (conv7x7/2 + BN + relu + maxpool +
+        out-quant, ops/pallas/qstem.py), or None to use the layer path.
+
+        The stem input is the raw (unquantized, full-scale) image, so no
+        x-factor folds into the epilogue scale; the fused state's scale
+        already carries the baked weight factor and the BN inverse."""
+        from fp8_quantization_tpu.nn import factored as fct
+        from fp8_quantization_tpu.nn.factored import Factored
+        from fp8_quantization_tpu.ops.pallas import autotune as at
+        from fp8_quantization_tpu.ops.pallas.qstem import (
+            FusedStemConfig, fused_quant_stem)
+
+        if (mode != "fixed" or train_bn or self.config.engine != "pallas"
+                or isinstance(x, Factored)):
+            return None
+        if x.ndim != 4:
+            return None
+        n, H, W, cin = x.shape
+        if H != W or H % 32 or cin > 8:
+            return None
+        st = stem_mod(x, mode=mode, quant_w=quant_w, quant_a=quant_a,
+                      train_bn=train_bn, out="fused_state")
+        if st is None:
+            return None
+        g0 = min(n, 16)     # the gate compile-walks down from here
+        gi, kp = at.stem_group(n, H, cin, 64, g0)
+        if not gi:
+            return None
+        emit = (out == "factored" and st["a_method"] != "none"
+                and st["factored_ok"])
+        kcfg = FusedStemConfig(act_method=st["a_method"],
+                               act_n_bits=st["n_bits"], emit_norm=emit,
+                               imgs_per_block=gi, k_pad=kp)
+        y = fused_quant_stem(x, st["kernel"], st["a_scalars"], st["scale"],
+                             st["shift"], cfg=kcfg)
+        if emit:
+            return Factored(fct.storage_dtype(y), st["factor"])
+        return y
+
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False):
@@ -140,10 +181,21 @@ class QuantizedResNet(nn.Module):
             kw["out"] = "factored"
 
         # stem: conv7x7/2 + bn + relu (BN-fused quantized), then maxpool 3x3/2
-        x = QuantConv(features=64, kernel_size=(7, 7), strides=(2, 2),
-                      padding=_same_pad(7), bn=True, activation="relu",
-                      config=stem_cfg, name="stem")(x, **kw)
-        x = fmax_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        stem_mod = QuantConv(features=64, kernel_size=(7, 7), strides=(2, 2),
+                             padding=_same_pad(7), bn=True, activation="relu",
+                             config=stem_cfg, name="stem")
+        # fused stem kernel (ops/pallas/qstem.py): conv + BN + relu + pool +
+        # out-quant in one pass — the composed chain's 112x112 pre-pool
+        # tensor (822 MB at batch 512) never leaves VMEM.  Deployment only,
+        # gated by on-device measurement; falls through to the layer +
+        # fmax_pool path otherwise.
+        xs = self._fused_stem(stem_mod, x, mode, quant_w, quant_a, train_bn,
+                              kw.get("out", "value"))
+        if xs is not None:
+            x = xs
+        else:
+            x = stem_mod(x, **kw)
+            x = fmax_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         num_blocks = sum(self.stage_sizes)

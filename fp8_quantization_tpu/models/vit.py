@@ -48,9 +48,24 @@ class QuantSelfAttention(nn.Module):
         q, k, v = (t.reshape(b, n, h, hd).transpose(0, 2, 1, 3)
                    for t in (q, k, v))
 
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
-        attn = nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        # Deployment fast path: Pallas flash attention (tiled online
+        # softmax — the (B,H,S,S) logits never reach HBM; the naive chain
+        # below is 100% of ViT-S/16's measured step traffic, RESULTS.md).
+        # bf16 operands / f32 softmax stats; seq padded + masked to the
+        # kernel's 128 blocks (ops/pallas/attention.py).  Gated per shape
+        # by on-device measurement; fp32 and quantized forwards share it,
+        # so the quantization A/B stays honest.
+        fused = False
+        if kw.get("mode") == "fixed" and self.config.engine == "pallas":
+            from fp8_quantization_tpu.ops.pallas import autotune as at
+            from fp8_quantization_tpu.ops.pallas.attention import flash_mha
+            if at.attn_wins(b, h, n, hd):
+                y = flash_mha(q, k, v, sm_scale=1.0 / float(hd) ** 0.5)
+                fused = True
+        if not fused:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+            attn = nn.softmax(attn, axis=-1)
+            y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, d)
         return QuantLinear(features=d, use_bias=True, config=self.config,
                            name="proj")(y, **kw)

@@ -93,9 +93,10 @@ def _load_disk_cache() -> None:
                 parts = key.split(":")
                 dims = tuple(int(v) for v in parts[-1].split("x"))
                 tag = parts[0] if len(parts) > 1 else ""
-                # matmul entries are bools; conv tags hold group ints
-                val = (int(win) if tag.startswith(("ig", "c", "d"))
-                       else bool(win))
+                # matmul entries (untagged) are bools; every tagged entry
+                # ('c', 'd', 'ig', 'irb', 's', ...) holds a group int —
+                # bool-decoding an int tag would collapse group 8 to 1
+                val = int(win) if tag else bool(win)
                 _CACHE.setdefault((tag,) + dims if tag else dims, val)
     except (OSError, ValueError):
         pass
@@ -560,6 +561,192 @@ def _resolve_dw_group(n: int, h: int, c: int, g0: int, stride: int) -> int:
                 "%.3fms -> %s", n, h, h, c, stride, chosen, t_fused * 1e3,
                 t_xla * 1e3, "FUSED" if win else "XLA")
     return chosen if win else 0
+
+
+def _stem_fns(n: int, s: int, cin: int, cout: int, g: int, k_pad: int):
+    """(fused, composed, example inputs) for the fused-stem probe.
+
+    Composed baseline = the deployment chain the kernel replaces
+    (RESULTS.md round-3 attribution: input convert pass + conv7x7s2 fusion
+    + maxpool, 4.52 ms of the 21.2 ms step): bf16 cast -> conv -> affine
+    relu -> fp8 output quant -> maxpool3x3s2."""
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.fp8 import quantize_to_fp8
+    from fp8_quantization_tpu.ops.pallas.common import PROBE_VMEM_LIMIT_BYTES
+    from fp8_quantization_tpu.ops.pallas.qstem import (
+        FusedStemConfig, fused_quant_stem)
+
+    rng = np.random.RandomState((s + cout) % 9973)
+    xs = [jnp.asarray(rng.normal(0, 1, (n, s, s, cin)), jnp.float32)
+          for _ in range(2)]
+    w = jnp.asarray(rng.normal(0, 0.1, (7, 7, cin, cout)), jnp.float32)
+    w = w.astype(jnp.bfloat16).astype(jnp.float32)
+    scale = jnp.ones((cout,), jnp.float32)
+    shift = jnp.zeros((cout,), jnp.float32)
+    ascal = jnp.asarray([6.0, 4.0, 1.0], jnp.float32)
+    kcfg = FusedStemConfig(act_method="fp8", imgs_per_block=g, k_pad=k_pad,
+                           vmem_limit=PROBE_VMEM_LIMIT_BYTES)
+
+    @jax.jit
+    def fused(x):
+        return fused_quant_stem(x, w, ascal, scale, shift, cfg=kcfg)
+
+    w_bf = w.astype(jnp.bfloat16)
+
+    @jax.jit
+    def composed(x):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w_bf, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = quantize_to_fp8(jax.nn.relu(y), jnp.asarray(6.0), 4.0)
+        return fnn.max_pool(y, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+
+    return fused, composed, xs
+
+
+def stem_group(n: int, s: int, cin: int, cout: int, g0: int) -> Tuple[int, int]:
+    """(group, k_pad) for the fused stem kernel, or (0, 0) for XLA.
+
+    Same empirical protocol as conv3_group, with one extra axis: the
+    in-kernel channel pad of the im2col tile (k_pad=4 halves the MXU
+    K-padding waste vs 8, IF Mosaic lowers width-4 lane concats — only a
+    compile probe can say).  Cached per shape (tag 's', value =
+    group * 100 + k_pad; 0 = XLA)."""
+    if MODE == "never" or MODE == "heuristic":
+        return 0, 0
+
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
+        return max(1, g0), 8    # interpret mode: exercise the kernel path
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = ("s" + ("!" if MODE == "always" else ""), n, s, cin, cout, g0)
+    if key not in _CACHE:
+        _CACHE[key] = _off_trace(_resolve_stem_group, n, s, cin, cout, g0)
+        _save_disk_cache()
+    enc = int(_CACHE[key])
+    logger.info("stem gate (%d,%dx%d,%d->%d) -> g=%d kp=%d", n, s, s, cin,
+                cout, enc // 100, enc % 100)
+    return enc // 100, enc % 100
+
+
+def _resolve_stem_group(n: int, s: int, cin: int, cout: int, g0: int) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    divs = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
+    groups, want = [], max(1, g0)
+    for g in divs:                       # halve between attempts
+        if g <= want:
+            groups.append(g)
+            want = max(1, g // 2)
+    chosen, kp_chosen, fused, composed, xs = 0, 0, None, None, None
+    for g in groups:
+        for kp in (4, 8):
+            try:
+                fused, composed, xs = _stem_fns(n, s, cin, cout, g, kp)
+                shape = jax.ShapeDtypeStruct((n, s, s, cin), jnp.float32)
+                fused.lower(shape).compile()
+                chosen, kp_chosen = g, kp
+                break
+            except Exception as exc:     # lowering / VMEM failure
+                logger.info("stem (%d,%dx%d,%d->%d) g=%d kp=%d: %s", n, s,
+                            s, cin, cout, g, kp, str(exc)[:120])
+        if chosen:
+            break
+    if chosen == 0:
+        return 0
+    enc = chosen * 100 + kp_chosen
+    if MODE == "always":
+        return enc
+    try:
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
+    except Exception as exc:
+        logger.warning("stem autotune (%d,%d,%d,%d) failed: %s", n, s, cin,
+                       cout, exc)
+        return 0
+    win = t_fused < t_xla
+    logger.info("stem autotune (%d,%dx%d,%d->%d) g=%d kp=%d: fused %.3fms "
+                "vs xla %.3fms -> %s", n, s, s, cin, cout, chosen, kp_chosen,
+                t_fused * 1e3, t_xla * 1e3, "FUSED" if win else "XLA")
+    return enc if win else 0
+
+
+def _attn_fns(b: int, h: int, s: int, d: int):
+    """(fused, composed, example inputs) for the flash-attention probe."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fp8_quantization_tpu.ops.pallas.attention import flash_mha
+
+    rng = np.random.RandomState((s + d) % 9973)
+    mk = lambda seed: tuple(                                  # noqa: E731
+        jnp.asarray(rng.normal(0, 1, (b, h, s, d)), jnp.float32)
+        for _ in range(3))
+    xs = [mk(0), mk(1)]
+    scale = 1.0 / float(d) ** 0.5
+
+    @jax.jit
+    def fused(qkv):
+        q, k, v = qkv
+        return flash_mha(q, k, v, sm_scale=scale)
+
+    @jax.jit
+    def composed(qkv):
+        q, k, v = qkv
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+    return fused, composed, xs
+
+
+def attn_wins(b: int, h: int, s: int, d: int) -> bool:
+    """Should flash attention replace the composed softmax chain at this
+    (batch, heads, seq, head_dim)?  Measured once per shape (tag 'a')."""
+    if MODE == "always":
+        return True
+    if MODE == "never" or MODE == "heuristic":
+        return False
+
+    from fp8_quantization_tpu.ops.pallas.common import on_cpu_backend
+    if on_cpu_backend():
+        return True   # interpret mode: keep the path test-covered
+
+    if not _DISK_LOADED:
+        _load_disk_cache()
+    key = ("a", b, h, s, d)
+    if key not in _CACHE:
+        _CACHE[key] = _off_trace(_resolve_attn, b, h, s, d)
+        _save_disk_cache()
+    logger.info("attn gate (%d,%d,%d,%d) -> %s", b, h, s, d,
+                "flash" if _CACHE[key] else "xla")
+    return bool(_CACHE[key])
+
+
+def _resolve_attn(b: int, h: int, s: int, d: int) -> int:
+    try:
+        fused, composed, xs = _attn_fns(b, h, s, d)
+        t_fused = _time_fn(fused, xs)
+        t_xla = _time_fn(composed, xs)
+    except Exception as exc:
+        logger.warning("attn autotune (%d,%d,%d,%d) failed: %s", b, h, s, d,
+                       exc)
+        return 0
+    win = t_fused < t_xla
+    logger.info("attn autotune (%d,%d,%d,%d): flash %.3fms vs xla %.3fms "
+                "-> %s", b, h, s, d, t_fused * 1e3, t_xla * 1e3,
+                "FLASH" if win else "XLA")
+    return int(win)
 
 
 def _ir_block_fns(n: int, h: int, cin: int, hid: int, cout: int, g: int,

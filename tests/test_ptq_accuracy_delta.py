@@ -167,3 +167,43 @@ def test_ptq_delta_act_f8_storage(trained):
     m_f8 = evaluate(dmodel, dvars, batches, quant_w=False)
     assert abs(m_parity["top_1_accuracy"] - m_f8["top_1_accuracy"]) <= 0.02, (
         m_parity, m_f8)
+
+
+def test_low_bit_qat_recovers_ptq_loss(trained):
+    """The paper's QAT story in miniature (reference qat_utils/
+    optimizer_utils path, BASELINE config #5): aggressively low bit widths
+    hurt PTQ, and fine-tuning through the STE with learnable ranges
+    (separate quant-param optimizer, reference --sep-quant-optimizer)
+    recovers to near-fp32.
+
+    Bit widths chosen so the PTQ drop is REAL on this task (measured:
+    W4A8/W3A8 PTQ are already lossless here — asserting recovery there
+    would be vacuous; W2A4 per-tensor drops to ~73% and QAT brings it
+    back to 100%)."""
+    model_fp32, variables, batches, fp32_metrics = trained
+
+    w2a4 = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        n_bits=2, n_bits_act=4, per_channel_weights=False,
+        weight_range_method="current_minmax", act_range_method="allminmax")
+    qmodel = TinyModel(config=w2a4, num_classes=8, width=16)
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    ptq = evaluate(qmodel, qvars, batches)
+    # the drop must be real or the recovery below proves nothing
+    assert ptq["top_1_accuracy"] <= 0.9, ptq
+
+    state, aux = init_qat_state(
+        qvars, w2a4, make_optimizer("Adam", 1e-3),
+        make_optimizer("Adam", 1e-4))
+    step = make_train_step(qmodel, aux, mode="learn")
+    for _ in range(20):
+        for x, y in batches:
+            state, m = step(state, x, y)
+    qat = evaluate(qmodel, state.variables(), batches)
+
+    fp32_top1 = fp32_metrics["top_1_accuracy"]
+    assert qat["top_1_accuracy"] >= ptq["top_1_accuracy"] + 0.05, (ptq, qat)
+    assert fp32_top1 - qat["top_1_accuracy"] <= 0.02, (fp32_top1, ptq, qat)
