@@ -85,9 +85,19 @@ def _phase_planes(xp):
     return out                                          # [ry][cx]
 
 
-def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref, *,
+def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref,
+                  pee_ref, peo_ref, poe_ref, poo_ref, *,
                   cfg: FusedStemConfig):
-    """One grid step: a group of whole images through conv+pool+quant."""
+    """One grid step: a group of whole images through conv+pool+quant.
+
+    Structure matters for COMPILE time, not just run time: a fully
+    unrolled bands x 49-taps graph compiles superlinearly in Mosaic
+    (measured: 5 s at S=32, ~100 s at S=64, tens of GB of compiler RSS at
+    S=224).  The phase planes therefore live in VMEM *scratch refs* and
+    the band loop is a lax.fori_loop whose body traces ONCE — band row
+    offsets become dynamic sublane-dim ref loads (cheap on Mosaic; the
+    row axis is untiled), and the graph size is one band regardless of S.
+    """
     g, S, _, cin = x_ref.shape
     cout = w_ref.shape[-1]
     C = S // 2                      # conv output rows/cols
@@ -100,35 +110,41 @@ def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref, *,
     # pad: rows/cols 3 each side (conv SAME) -> S+6 (even, split-friendly);
     # channels to the im2col tile width (zeros: contribute 0 to the dot)
     xp = jnp.pad(xb, ((0, 0), (3, 3), (3, 3), (0, cp - cin)))
-    planes = _phase_planes(xp)                    # each (g, (S+6)/2, ., cp)
+    (ee, eo), (oe, oo) = _phase_planes(xp)
+    pee_ref[:] = ee
+    peo_ref[:] = eo
+    poe_ref[:] = oe
+    poo_ref[:] = oo
+    planes = ((pee_ref, peo_ref), (poe_ref, poo_ref))
 
     # weights as one (49*cp, cout) matrix, (dy, dx, cin)-major like the
     # tap concat below; the host wrapper already channel-padded them
     wm = w_ref[:].reshape(49 * cp, cout)
+    scale = scale_ref[0, 0, 0, :]
+    shift = shift_ref[0, 0, 0, :]
 
-    prev = jnp.zeros((g, 1, C, cout), jnp.float32)   # pool pad row (post-
-    # relu values are >= 0, so 0 is the exact max identity here)
-    for b in range(bands):
+    def band(b, prev):
+        r0 = b * br
         taps = []
         for dy in range(7):
             for dx in range(7):
-                pl_ = planes[dy & 1][dx & 1]
-                r0 = b * br + dy // 2
-                c0 = dx // 2
-                t = pl_[:, r0:r0 + br, c0:c0 + C, :]
+                pr = planes[dy & 1][dx & 1]
+                t = pr[:, pl.dslice(r0 + dy // 2, br),
+                       pl.dslice(dx // 2, C), :]
                 taps.append(t.reshape(g * br * C, cp))
         patches = jnp.concatenate(taps, axis=1)       # (g*br*C, 49*cp)
         acc = jax.lax.dot_general(
             patches, wm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = acc.reshape(g, br, C, cout)
-        y = y * scale_ref[0, 0, 0, :] + shift_ref[0, 0, 0, :]
-        y = jnp.maximum(y, 0.0)                       # stem relu
+        y = jnp.maximum(y * scale + shift, 0.0)       # folded BN + relu
 
         # row pool: pool row j of the band covers conv rows 2j-1, 2j, 2j+1
-        # (band-local, with the previous band's last row carried in)
+        # (band-local, with the previous band's last row carried in; 0 is
+        # the exact max identity for the first band's pad — post-relu
+        # values are >= 0)
         ycat = jnp.concatenate([prev, y], axis=1)     # (g, br+1, C, cout)
-        prev = y[:, br - 1:br]
+        new_prev = y[:, br - 1:br]
         rows = [jnp.maximum(jnp.maximum(ycat[:, 2 * j:2 * j + 1],
                                         ycat[:, 2 * j + 1:2 * j + 2]),
                             ycat[:, 2 * j + 2:2 * j + 3])
@@ -152,8 +168,12 @@ def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref, *,
             cm = _int_asym_quantize_tile(cm, as_ref[0, 0], as_ref[0, 1],
                                          cfg.act_n_bits,
                                          normalized=cfg.emit_norm)
-        p0 = b * br // 2
-        out_ref[:, p0:p0 + br // 2, :, :] = cm.astype(out_ref.dtype)
+        out_ref[:, pl.dslice(b * (br // 2), br // 2), :, :] = \
+            cm.astype(out_ref.dtype)
+        return new_prev
+
+    prev0 = jnp.zeros((g, 1, C, cout), jnp.float32)
+    jax.lax.fori_loop(0, bands, band, prev0)
 
 
 def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
@@ -219,6 +239,9 @@ def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
         out_specs=pl.BlockSpec((g, P, P, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, P, P, cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((g, (S + 6) // 2, (S + 6) // 2,
+                                    cfg.k_pad), jnp.bfloat16)
+                        for _ in range(4)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (S // 2) ** 2 * 49 * cin * cout,
             bytes_accessed=x.dtype.itemsize * n * S * S * cin
