@@ -147,9 +147,9 @@ class QuantizedResNet(nn.Module):
                       train_bn=train_bn, out="fused_state")
         if st is None:
             return None
-        # ~4.3 MB/img live (planes + band im2col + acc + out): g=8 sits
-        # ~35 MB under the 80 MiB probe budget; the gate walks down anyway
-        g0 = min(n, 8)
+        # the gate pins the group internally (g=1 is the only config the
+        # compiler's whole-output VMEM staging allows at 224px, measured)
+        g0 = 1
         gi, kp = at.stem_group(n, H, cin, 64, g0)
         if not gi:
             return None

@@ -641,26 +641,25 @@ def _resolve_stem_group(n: int, s: int, cin: int, cout: int, g0: int) -> int:
     import jax
     import jax.numpy as jnp
 
-    divs = [g for g in range(max(1, g0), 0, -1) if n % g == 0]
-    groups, want = [], max(1, g0)
-    for g in divs:                       # halve between attempts
-        if g <= want:
-            groups.append(g)
-            want = max(1, g // 2)
+    # g is pinned to 1: the 224px feasibility matrix (batch 512, v5e AOT)
+    # showed every g > 1 tripping an XLA whole-output VMEM staging (fast
+    # fail at g=2, ~6-minute compiler OOM at g=8) while g=1 compiles in
+    # ~10 s for both k_pads and pipelines fine across the n grid steps.
+    # Failed attempts are EXPENSIVE over a remote-compile tunnel, so the
+    # walk starts at the known-good point; k_pad=4 first (196-lane im2col
+    # K halves the MXU K-padding waste vs 8).
+    del g0
     chosen, kp_chosen, fused, composed, xs = 0, 0, None, None, None
-    for g in groups:
-        for kp in (4, 8):
-            try:
-                fused, composed, xs = _stem_fns(n, s, cin, cout, g, kp)
-                shape = jax.ShapeDtypeStruct((n, s, s, cin), jnp.float32)
-                fused.lower(shape).compile()
-                chosen, kp_chosen = g, kp
-                break
-            except Exception as exc:     # lowering / VMEM failure
-                logger.info("stem (%d,%dx%d,%d->%d) g=%d kp=%d: %s", n, s,
-                            s, cin, cout, g, kp, str(exc)[:120])
-        if chosen:
+    for g, kp in ((1, 4), (1, 8)):
+        try:
+            fused, composed, xs = _stem_fns(n, s, cin, cout, g, kp)
+            shape = jax.ShapeDtypeStruct((n, s, s, cin), jnp.float32)
+            fused.lower(shape).compile()
+            chosen, kp_chosen = g, kp
             break
+        except Exception as exc:         # lowering / VMEM failure
+            logger.info("stem (%d,%dx%d,%d->%d) g=%d kp=%d: %s", n, s,
+                        s, cin, cout, g, kp, str(exc)[:120])
     if chosen == 0:
         return 0
     enc = chosen * 100 + kp_chosen

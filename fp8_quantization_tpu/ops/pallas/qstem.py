@@ -85,36 +85,37 @@ def _phase_planes(xp):
     return out                                          # [ry][cx]
 
 
-def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref,
-                  pee_ref, peo_ref, poe_ref, poo_ref, *,
+def _qstem_kernel(pee_ref, peo_ref, poe_ref, poo_ref, w_ref, as_ref,
+                  scale_ref, shift_ref, out_ref, obuf_ref, *,
                   cfg: FusedStemConfig):
     """One grid step: a group of whole images through conv+pool+quant.
 
-    Structure matters for COMPILE time, not just run time: a fully
-    unrolled bands x 49-taps graph compiles superlinearly in Mosaic
-    (measured: 5 s at S=32, ~100 s at S=64, tens of GB of compiler RSS at
-    S=224).  The phase planes therefore live in VMEM *scratch refs* and
-    the band loop is a lax.fori_loop whose body traces ONCE — band row
-    offsets become dynamic sublane-dim ref loads (cheap on Mosaic; the
-    row axis is untiled), and the graph size is one band regardless of S.
+    Structure matters for COMPILE time, not just run time (all measured
+    on the v5e AOT target at batch 512):
+      * a fully unrolled bands x 49-taps graph compiles superlinearly
+        (5 s at S=32, ~100 s at S=64, tens of GB of compiler RSS at
+        S=224) — so the band loop is a lax.fori_loop whose body traces
+        once, with band row offsets as dynamic sublane-dim loads;
+      * dynamic-offset loads from VMEM *scratch* refs inside that loop
+        make the compiler stage the entire un-blocked output on the
+        kernel stack (RESOURCE_EXHAUSTED) — so the phase planes are
+        precomputed by XLA in the wrapper (one fused cast+pad+split
+        pass) and arrive as pipelined INPUT refs, where the same dynamic
+        loads compile in seconds;
+      * dynamic-offset stores into the pipelined OUTPUT block trip the
+        same staging — bands land in a small scratch and the out ref
+        gets one static full-block store.
     """
-    g, S, _, cin = x_ref.shape
+    g = pee_ref.shape[0]
     cout = w_ref.shape[-1]
+    cp = cfg.k_pad
+    Hp2 = pee_ref.shape[1]          # (S + 6) / 2
+    S = 2 * Hp2 - 6
     C = S // 2                      # conv output rows/cols
     P = C // 2                      # pool output rows/cols
     br = cfg.band_rows              # conv rows per band
     bands = C // br
-    cp = cfg.k_pad
 
-    xb = x_ref[:].astype(jnp.bfloat16)
-    # pad: rows/cols 3 each side (conv SAME) -> S+6 (even, split-friendly);
-    # channels to the im2col tile width (zeros: contribute 0 to the dot)
-    xp = jnp.pad(xb, ((0, 0), (3, 3), (3, 3), (0, cp - cin)))
-    (ee, eo), (oe, oo) = _phase_planes(xp)
-    pee_ref[:] = ee
-    peo_ref[:] = eo
-    poe_ref[:] = oe
-    poo_ref[:] = oo
     planes = ((pee_ref, peo_ref), (poe_ref, poo_ref))
 
     # weights as one (49*cp, cout) matrix, (dy, dx, cin)-major like the
@@ -168,12 +169,17 @@ def _qstem_kernel(x_ref, w_ref, as_ref, scale_ref, shift_ref, out_ref,
             cm = _int_asym_quantize_tile(cm, as_ref[0, 0], as_ref[0, 1],
                                          cfg.act_n_bits,
                                          normalized=cfg.emit_norm)
-        out_ref[:, pl.dslice(b * (br // 2), br // 2), :, :] = \
+        # bands land in a VMEM scratch and the OUT ref gets one static
+        # full-block store after the loop: dynamic-offset stores into the
+        # pipelined output block made XLA stage the whole un-blocked
+        # output in VMEM (batch-512 compile blew the budget)
+        obuf_ref[:, pl.dslice(b * (br // 2), br // 2), :, :] = \
             cm.astype(out_ref.dtype)
         return new_prev
 
     prev0 = jnp.zeros((g, 1, C, cout), jnp.float32)
     jax.lax.fori_loop(0, bands, band, prev0)
+    out_ref[:] = obuf_ref[:]
 
 
 def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
@@ -183,9 +189,10 @@ def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
     """y = maxpool3x3s2(out_quant(relu(conv7x7s2(x, w) * scale + shift))).
 
     Args:
-      x: (N, S, S, cin) raw input images (f32 or bf16; cast to bf16
-        in-kernel — the deployed XLA path's separate convert pass is one
-        of the HBM round trips this kernel removes).  S % 32 == 0.
+      x: (N, S, S, cin) raw input images (f32 or bf16; the bf16 cast
+        happens in the XLA plane-building prologue — the deployed path's
+        separate convert pass is one of the HBM round trips this kernel
+        removes).  S % 32 == 0.
       w: (7, 7, cin, Cout) baked normalized weights (bf16-exact).
       act_scalars: (3,) f32 — fp8: [maxval, mantissa_bits, sign_bits];
         int_asym: [delta, zero_float, 0]; ignored for "none".
@@ -202,6 +209,7 @@ def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
     assert cfg.band_rows % 2 == 0 and (S // 2) % cfg.band_rows == 0, cfg
     cout = w.shape[-1]
     P = S // 4
+    Hp2 = (S + 6) // 2
     g = min(cfg.imgs_per_block, n)
     while n % g:
         g -= 1
@@ -222,12 +230,20 @@ def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
     wp = jnp.pad(w.astype(jnp.bfloat16),
                  ((0, 0), (0, 0), (0, cfg.k_pad - cin), (0, 0)))
 
+    # XLA prologue: cast + conv-SAME pad + channel pad + parity split in
+    # one fused pass; the planes land in HBM (~1.4x the bf16 image at
+    # k_pad=4) and stream into the kernel as pipelined input blocks
+    xp = jnp.pad(x.astype(jnp.bfloat16),
+                 ((0, 0), (3, 3), (3, 3), (0, cfg.k_pad - cin)))
+    (pee, peo), (poe, poo) = _phase_planes(xp)
+
+    pspec = pl.BlockSpec((g, Hp2, Hp2, cfg.k_pad), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_qstem_kernel, cfg=cfg),
         grid=(n // g,),
         in_specs=[
-            pl.BlockSpec((g, S, S, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pspec, pspec, pspec, pspec,
             pl.BlockSpec((7, 7, cfg.k_pad, cout), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -239,15 +255,13 @@ def fused_quant_stem(x: jax.Array, w: jax.Array, act_scalars: jax.Array,
         out_specs=pl.BlockSpec((g, P, P, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, P, P, cout), out_dtype),
-        scratch_shapes=[pltpu.VMEM((g, (S + 6) // 2, (S + 6) // 2,
-                                    cfg.k_pad), jnp.bfloat16)
-                        for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((g, P, P, cout), out_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (S // 2) ** 2 * 49 * cin * cout,
-            bytes_accessed=x.dtype.itemsize * n * S * S * cin
+            bytes_accessed=2 * n * Hp2 * Hp2 * cfg.k_pad
             + 2 * n * P * P * cout,
             transcendentals=n * P * P * cout),
         compiler_params=tpu_compiler_params(cfg.vmem_limit),
         interpret=interpret,
-    )(x, wp, ascal, sc, sh)
+    )(pee, peo, poe, poo, wp, ascal, sc, sh)
     return out
