@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Throughput benchmark of the deployed quantized models, images/sec/chip.
 
-Emits ONE JSON line per benchmark config — MobileNetV2 FP8 (+IEEE-f8
-activation storage), ResNet-18 INT8 (XLA-native s8 MXU datapath, baked
-integer weights), and LAST the headline ResNet-18 FP8 deployment (kept last
-so the driver's parsed metric stays comparable across rounds).  Each line:
+Emits ONE JSON line per benchmark config — MobileNetV2 FP8 (bf16 conv
+stores), ViT-S/16 FP8 (factored transformer path), ResNet-18 INT8
+(XLA-native s8 MXU datapath, baked integer weights), and LAST the headline
+ResNet-18 FP8 deployment (kept last so the driver's parsed metric stays
+comparable across rounds).  Both sides of every ratio consume bf16 serving
+input (what a real pipeline delivers; logits bit-identical on the deployed
+config — pinned on CPU).  Each line:
 {"metric", "value", "unit", "vs_baseline", ...} where ``vs_baseline`` is
 the ratio of quantized throughput to the UNQUANTIZED fp32 forward of the
 same model on the same chip, timed in interleaved windows (the dev-tunnel
@@ -33,7 +36,7 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 197e12
 # fwd pass, 224x224, multiply-accumulate counted as 2 flops (MAC counts
 # audited via tools/roofline.py HLO sums: resnet18 = 1.824 GMACs).
-MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628}
+MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628, "vit_small": 9.2}
 
 T0 = time.perf_counter()
 
@@ -65,16 +68,20 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8"):
     """Calibrate -> bake -> time quantized vs fp32 forward; emit one line."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import (mobilenetv2_quantized,
-                                             resnet18_quantized)
+                                             resnet18_quantized,
+                                             vit_small_quantized)
 
     ctor = {"resnet18": resnet18_quantized,
-            "mobilenet_v2": mobilenetv2_quantized}[arch]
+            "mobilenet_v2": mobilenetv2_quantized,
+            "vit_small": vit_small_quantized}[arch]
     model = ctor(config, num_classes=1000)
 
     key = jax.random.PRNGKey(0)
     # inputs generated ON DEVICE (the axon tunnel uploads ~2 MB/s)
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1, :64, :64, :])
+    # ViT's pos_embed is input-size-bound: init/prepare must see 224px
+    ex = x[:1] if arch == "vit_small" else x[:1, :64, :64, :]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), ex)
     mark(f"{metric}: init done")
     variables = calibrate(model, variables, [x[:128]])
     mark(f"{metric}: calibration done")
@@ -86,9 +93,17 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8"):
     else:
         # host-side: eager per-op dispatch over the tunnel is latency-bound
         from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
-        variables = prepare_for_deployment_host(model, variables)
+        variables = prepare_for_deployment_host(
+            model, variables,
+            example_shape=(1, 224, 224, 3) if arch == "vit_small"
+            else (1, 64, 64, 3))
         quant_w = False
     mark(f"{metric}: bake/prepare done")
+    # serving input: pipelines deliver uint8/bf16 images, so BOTH sides
+    # consume bf16 (logits bit-identical on the deployed config — the quant
+    # grids absorb the 2^-9 input rounding; pinned on CPU, and the ratio
+    # stays honest because the fp32 baseline gets the same input).
+    x = x.astype(jnp.bfloat16)
 
     q_fn = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed",
                                              quant_w=quant_w))
@@ -127,6 +142,11 @@ def main():
     # bandwidth-bound and the f8 stores block epilogue fusion)
     bench_model("mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
                 256, make_layer_config(**fp8_kw))
+
+    # ViT-S/16 FP8, factored fast path through the transformer (round-3
+    # verdict: naive attention beats flash at S=197; quant tax ~12%)
+    bench_model("vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
+                make_layer_config(**fp8_kw))
 
     # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights
     bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 512,
