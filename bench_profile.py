@@ -27,7 +27,7 @@ V5E_BF16_PEAK = 197e12   # TF/s per chip
 _SETUP_CACHE = {}
 
 
-MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628,
+MODEL_GFLOP = {"resnet18": 3.648, "resnet50": 8.21, "mobilenet_v2": 0.628,
                "vit_small": 9.2}   # fwd, 224px, MAC=2 flops (resnet18 =
                                    # 1.824 GMACs; audited via tools/roofline)
 
@@ -39,6 +39,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import (mobilenetv2_quantized,
                                              resnet18_quantized,
+                                             resnet50_quantized,
                                              vit_small_quantized)
     from fp8_quantization_tpu.nn.bake import prepare_for_deployment_host
     from fp8_quantization_tpu.nn.config import make_layer_config
@@ -61,7 +62,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             deploy_act_f8=act_f8)
     ctor = {"mobilenet_v2": mobilenetv2_quantized,
             "vit_small": vit_small_quantized,
-            "resnet18": resnet18_quantized}[arch]
+            "resnet18": resnet18_quantized,
+            "resnet50": resnet50_quantized}[arch]
     model = ctor(config, num_classes=1000)
     if "x" not in _SETUP_CACHE:
         # generated ON DEVICE: the axon tunnel uploads ~2 MB/s, a batch-256
