@@ -93,6 +93,14 @@ def line_search_range(x, qspec: QuantizerSpec, num_candidates: int = 1000,
     step = max_search_range / num_candidates
 
     if opt_method == OptMethod.golden_section:
+        # CAVEAT: quantization MSE as a function of the clipping threshold is
+        # NOT unimodal (it has a local minimum near every grid-boundary
+        # crossing), so bounded golden-section can converge to a local
+        # optimum.  The reference has the same property
+        # (range_estimators.py:247-256 routes golden_section through
+        # scipy.optimize.minimize_scalar too).  The grid method (the default
+        # everywhere in this repo) is exhaustive and immune; use
+        # golden_section only for quick approximate searches.
         from scipy.optimize import minimize_scalar
 
         def loss_np(t):
