@@ -33,7 +33,8 @@ MODEL_GFLOP = {"resnet18": 3.648, "resnet50": 8.21, "mobilenet_v2": 0.628,
 
 
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
-          arch: str = "resnet18", act_f8: bool = False, qscheme: str = "fp8"):
+          arch: str = "resnet18", act_f8: bool = False, qscheme: str = "fp8",
+          stem_s2d: bool = False):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
@@ -64,7 +65,10 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             "vit_small": vit_small_quantized,
             "resnet18": resnet18_quantized,
             "resnet50": resnet50_quantized}[arch]
-    model = ctor(config, num_classes=1000)
+    # stem_s2d is apply-time only (exact transform, identical variables), so
+    # the calibrate/bake cache below is shared with the non-s2d variants
+    extra = {"stem_s2d": True} if stem_s2d and "resnet" in arch else {}
+    model = ctor(config, num_classes=1000, **extra)
     if "x" not in _SETUP_CACHE:
         # generated ON DEVICE: the axon tunnel uploads ~2 MB/s, a batch-256
         # fp32 input is 154 MB — host-side RandomState would eat the window
@@ -130,6 +134,9 @@ def main():
                     help="comma-separated variant-name substrings to keep "
                          "(fp32_bf16ops always kept as the baseline); use to "
                          "fit an A/B into one tunnel window")
+    ap.add_argument("--stem-s2d", action="store_true",
+                    help="add exact space-to-depth stem variants (ResNet): "
+                         "fp32_s2d + fp8_cast_convbf16_s2d A/B rows")
     ap.add_argument("--no-baseline", action="store_true",
                     help="skip the fp32 baseline build too (axon compiles "
                          "are NOT cached across processes — a single-variant "
@@ -144,7 +151,7 @@ def main():
     stats = {}
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
-            qscheme="fp8"):
+            qscheme="fp8", stem_s2d=False):
         if name == "fp32_bf16ops":
             if args.no_baseline:
                 return
@@ -155,7 +162,7 @@ def main():
         import sys
         print(f"[profile] building {name}", file=sys.stderr, flush=True)
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
-                                    args.arch, act_f8, qscheme)
+                                    args.arch, act_f8, qscheme, stem_s2d)
         if args.input_bf16:
             x = x.astype(jnp.bfloat16)
         quant_w = qscheme == "int8"        # int8: in-kernel weight quant
@@ -178,10 +185,17 @@ def main():
     add("fp8_cast_convbf16", "bf16", True, True, cast_quant=True)
     add("fp8_cast_convbf16_actf8", "bf16", True, True, cast_quant=True,
         act_f8=True)
+    if args.stem_s2d:
+        add("fp32_s2d", "bf16", False, False, stem_s2d=True)
+        add("fp8_cast_convbf16_s2d", "bf16", True, True, cast_quant=True,
+            stem_s2d=True)
     if args.pallas:
         at.MODE = "auto"                   # measured per-shape gating
         add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)
     if args.int8:
+        at.MODE = "never"  # pure XLA-native s8 route (ops/int8.py), no
+        # Pallas gates — the clean s8 datapath row for any arch (incl. ViT)
+        add("int8_xla", "bf16", False, True, qscheme="int8")
         at.MODE = "auto"   # XLA-native s8 route (ops/int8.py) by default;
         # the Pallas int8 kernels only where the measured gate says they win
         add("int8_mxu", "pallas", False, True, qscheme="int8")

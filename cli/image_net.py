@@ -122,6 +122,10 @@ def _quant_options(f):
                           "grid — delta pinned in tests)"),
         click.option("--grad-estimator", type=click.Choice(
             ["ste", "stoch_round", "ewgs", "stacked_sigmoid"]), default="ste"),
+        click.option("--stem-s2d/--no-stem-s2d", default=False,
+                     help="ResNet only: run the 7x7/s2 stem as an exact "
+                          "space-to-depth 4x4/s1 conv (ops/s2d.py) — same "
+                          "logits, MXU-friendly shape"),
     ]
     for o in reversed(opts):
         f = o(f)
@@ -173,7 +177,10 @@ def _setup(kw):
         int8_mxu=kw.get("int8_mxu", False))
 
     arch = kw["architecture"]
-    model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"])
+    extra = ({"stem_s2d": True} if kw.get("stem_s2d")
+             and "resnet" in arch else {})
+    model = QUANT_ARCHITECTURES[arch](config, quant_setup=kw["quant_setup"],
+                                      **extra)
     train_data, val_data = make_dataloaders(
         kw["images_dir"], batch_size=kw["batch_size"],
         num_workers=kw["num_workers"], seed=kw["seed"],

@@ -95,6 +95,11 @@ class QuantizedResNet(nn.Module):
     last_block_config: Optional[LayerQuantConfig] = None  # last block act/convs
     block_act_config: Optional[LayerQuantConfig] = None  # block-output act quant
     tie_avgpool: bool = True                             # False for LSQ_paper
+    # exact space-to-depth stem (ops/s2d.py): 7x7/s2 conv on (224,224,3)
+    # becomes 4x4/s1 on (112,112,12) — same numerics, MXU-friendly shape.
+    # Deployment opt-in; the fused Pallas stem path (gated off on v5e) is
+    # skipped when enabled because the transform covers the same block.
+    stem_s2d: bool = False
 
     def weight_spec_fn(self):
         """Param-path -> weight QuantizerSpec, resolving quant_setup preset
@@ -136,7 +141,7 @@ class QuantizedResNet(nn.Module):
             FusedStemConfig, fused_quant_stem)
 
         if (mode != "fixed" or train_bn or self.config.engine != "pallas"
-                or isinstance(x, Factored)):
+                or isinstance(x, Factored) or self.stem_s2d):
             return None
         if x.ndim != 4:
             return None
@@ -185,7 +190,7 @@ class QuantizedResNet(nn.Module):
         # stem: conv7x7/2 + bn + relu (BN-fused quantized), then maxpool 3x3/2
         stem_mod = QuantConv(features=64, kernel_size=(7, 7), strides=(2, 2),
                              padding=_same_pad(7), bn=True, activation="relu",
-                             config=stem_cfg, name="stem")
+                             config=stem_cfg, s2d=self.stem_s2d, name="stem")
         # fused stem kernel (ops/pallas/qstem.py): conv + BN + relu + pool +
         # out-quant in one pass — the composed chain's 112x112 pre-pool
         # tensor (822 MB at batch 512) never leaves VMEM.  Deployment only,
@@ -291,14 +296,16 @@ def resnet_configs(base: LayerQuantConfig, quant_setup: Optional[str]):
 
 
 def resnet18_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
-                       num_classes: int = 1000) -> QuantizedResNet:
+                       num_classes: int = 1000,
+                       stem_s2d: bool = False) -> QuantizedResNet:
     return QuantizedResNet(stage_sizes=(2, 2, 2, 2), bottleneck=False,
-                           num_classes=num_classes,
+                           num_classes=num_classes, stem_s2d=stem_s2d,
                            **resnet_configs(base, quant_setup))
 
 
 def resnet50_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
-                       num_classes: int = 1000) -> QuantizedResNet:
+                       num_classes: int = 1000,
+                       stem_s2d: bool = False) -> QuantizedResNet:
     return QuantizedResNet(stage_sizes=(3, 4, 6, 3), bottleneck=True,
-                           num_classes=num_classes,
+                           num_classes=num_classes, stem_s2d=stem_s2d,
                            **resnet_configs(base, quant_setup))

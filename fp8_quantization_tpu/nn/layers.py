@@ -747,6 +747,11 @@ class QuantConv(QuantizedLayerBase):
     bn: bool = False
     bn_eps: float = 1e-5
     bn_momentum: float = 0.1
+    # space-to-depth stem transform (ops/s2d.py): run the 7x7/s2/p3 conv as
+    # an EXACT 4x4/s1 conv on the block-2 s2d input — applied after weight
+    # fake-quant, so numerics are unchanged for every quant method.  Opt-in
+    # (QuantizedResNet.stem_s2d); only the general XLA conv path consumes it.
+    s2d: bool = False
 
     def _conv_fused_state(self, x, mode, quant_w, quant_a, train_bn):
         """Deployment introspection for block-level fusion
@@ -964,8 +969,19 @@ class QuantConv(QuantizedLayerBase):
             x_factor = x_factor_in   # input arrived pre-quantized (Factored)
         xm, wm, w_factor = self._engine_operands(x, kernel, mode, quant_w,
                                                  self.features)
+        strides, padding = self.strides, self.padding
+        if (self.s2d and self.kernel_size == (7, 7)
+                and self.strides == (2, 2)
+                and self.padding == ((3, 3), (3, 3))
+                and self.feature_group_count == 1
+                and xm.ndim == 4 and xm.shape[1] % 2 == 0
+                and xm.shape[2] % 2 == 0):
+            from fp8_quantization_tpu.ops.s2d import (s2d_stem_kernel,
+                                                      space_to_depth)
+            xm = space_to_depth(xm)
+            wm, strides, padding = s2d_stem_kernel(wm)
         y = jax.lax.conv_general_dilated(
-            xm, wm, window_strides=self.strides, padding=self.padding,
+            xm, wm, window_strides=strides, padding=padding,
             feature_group_count=self.feature_group_count,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self._conv_out_dtype(mode, quant_a, out))

@@ -248,3 +248,43 @@ def test_convert_vit_round_trip():
     yq = np.asarray(japply(model, merged, x, mode="fixed"))
     assert np.isfinite(yq).all()
     assert not np.allclose(yq, y)
+
+
+def test_vit_int8_mxu_route():
+    """ViT on the XLA-native s8 datapath (VERDICT r3 item 2): the int8
+    config routes every QuantLinear/patch-embed through ops/int8.py, and
+    the integer path tracks the parity fake-quant chain."""
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+
+    int8_cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="bf16", int8_mxu=True)
+    parity_cfg = int8_cfg.replace(engine="parity", int8_mxu=False)
+
+    kw = dict(num_classes=5, patch_size=4, dim=32, depth=2, num_heads=2,
+              mlp_ratio=2)
+    model = QuantizedViT(config=int8_cfg, **kw)
+    parity = QuantizedViT(config=parity_cfg, **kw)
+
+    x = jnp.asarray(np.random.RandomState(7).normal(0, 1, (2, 16, 16, 3)),
+                    jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    variables = calibrate(parity, variables, [x])
+
+    # the s8 route actually engages: integer dots appear in the lowered HLO
+    txt = jax.jit(lambda v, xx: model.apply(v, xx, mode="fixed")).lower(
+        variables, x).as_text()
+    assert "s8" in txt or "i8" in txt
+
+    y_int8 = japply(model, variables, x, mode="fixed")
+    y_par = japply(parity, variables, x, mode="fixed")
+    np.testing.assert_allclose(np.asarray(y_int8), np.asarray(y_par),
+                               rtol=5e-2, atol=5e-2)
+
+    # baked integer weights: bit-equivalent route, no weight chain in-step
+    baked = bake_int8_weights(model, variables, x[:1])
+    y_baked = japply(model, baked, x, mode="fixed", quant_w=False)
+    np.testing.assert_allclose(np.asarray(y_baked), np.asarray(y_int8),
+                               rtol=1e-4, atol=1e-4)
