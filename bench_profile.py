@@ -67,7 +67,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             "resnet50": resnet50_quantized}[arch]
     # stem_s2d is apply-time only (exact transform, identical variables), so
     # the calibrate/bake cache below is shared with the non-s2d variants
-    extra = {"stem_s2d": True} if stem_s2d and "resnet" in arch else {}
+    extra = ({"stem_s2d": stem_s2d} if stem_s2d and "resnet" in arch
+             else {})
     model = ctor(config, num_classes=1000, **extra)
     if "x" not in _SETUP_CACHE:
         # generated ON DEVICE: the axon tunnel uploads ~2 MB/s, a batch-256
@@ -93,9 +94,13 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
         _mark("calibrate done")
         if qscheme == "int8":
             # baked-int8 weights: kernels consume the stored integer grid
-            # (w_prequant) — no weight quant chain in the step
+            # (w_prequant) — no weight quant chain in the step.  ViT:
+            # pos_embed is input-size-bound, the bake forward must match.
             from fp8_quantization_tpu.nn.bake import bake_int8_weights_host
-            _SETUP_CACHE[fmt] = bake_int8_weights_host(model, variables)
+            _SETUP_CACHE[fmt] = bake_int8_weights_host(
+                model, variables,
+                example_shape=((1, 224, 224, 3) if arch == "vit_small"
+                               else (1, 64, 64, 3)))
         else:
             # eager transform -> host backend (latency over the tunnel).
             # ViT: pos_embed is input-size-bound, so the transform's example
@@ -165,6 +170,11 @@ def main():
                                     args.arch, act_f8, qscheme, stem_s2d)
         if args.input_bf16:
             x = x.astype(jnp.bfloat16)
+        if stem_s2d == "input":
+            # serving pipeline delivers pre-s2d images (free host shuffle);
+            # transform once outside the timed fn
+            from fp8_quantization_tpu.ops.s2d import space_to_depth
+            x = jax.jit(space_to_depth)(x)
         quant_w = qscheme == "int8"        # int8: in-kernel weight quant
         fn = jax.jit(lambda v, xx: model.apply(
             v, xx, mode="fixed", quant_w=quant_w, quant_a=quant_a))
@@ -189,6 +199,9 @@ def main():
         add("fp32_s2d", "bf16", False, False, stem_s2d=True)
         add("fp8_cast_convbf16_s2d", "bf16", True, True, cast_quant=True,
             stem_s2d=True)
+        add("fp32_s2dinput", "bf16", False, False, stem_s2d="input")
+        add("fp8_cast_convbf16_s2dinput", "bf16", True, True,
+            cast_quant=True, stem_s2d="input")
     if args.pallas:
         at.MODE = "auto"                   # measured per-shape gating
         add("fp8_pallas_convbf16", "pallas", True, True, cast_quant=True)

@@ -334,43 +334,145 @@ def validate_quantized(**kw):
     print(json.dumps(metrics))
 
 
+def _scan_real_assets():
+    """Auto-detect mounted ImageNet trees and pretrained torch checkpoints.
+
+    Scans the standard mount points (plus $IMAGENET_DIR / $MODEL_DIR) at
+    shallow depth so the real-data legs run without builder intervention
+    the moment assets appear in an environment.  Returns
+    {"imagenet_root": path|None, "checkpoints": {arch: path},
+     "scanned": [paths]}.
+    """
+    import os
+    from pathlib import Path
+
+    data_roots = [os.environ.get("IMAGENET_DIR"), "/data", "/datasets",
+                  "/mnt/data", "/mnt/imagenet", "/mnt/disks",
+                  "/root/data", "/srv/datasets",
+                  str(Path.home() / "imagenet")]
+    ckpt_roots = [os.environ.get("MODEL_DIR"), "/models", "/checkpoints",
+                  "/root/models", "/root/checkpoints", "/data/models",
+                  str(Path.home() / ".cache/torch/hub/checkpoints")]
+
+    def _looks_imagenet(d: "Path") -> bool:
+        # ImageFolder layout: val/ (or the root itself) holding many
+        # class dirs — WordNet ids (n01440764) or at least 100 subdirs
+        for cand in (d / "val", d / "validation", d):
+            try:
+                subs = [p.name for p in list(cand.iterdir())[:1200]
+                        if p.is_dir()]
+            except OSError:
+                continue
+            wn = sum(1 for s in subs if s.startswith("n0") or
+                     s.startswith("n1"))
+            if wn >= 50 or len(subs) >= 100:
+                return True
+        return False
+
+    imagenet_root, scanned = None, []
+    for root in data_roots:
+        if not root:
+            continue
+        d = Path(root)
+        scanned.append(str(d))
+        if not d.is_dir():
+            continue
+        cands = [d] + [p for p in d.iterdir() if p.is_dir()][:32]
+        for c in cands:
+            if _looks_imagenet(c):
+                imagenet_root = str(c)
+                break
+        if imagenet_root:
+            break
+
+    checkpoints = {}
+    arch_keys = {"resnet18": "resnet18", "resnet50": "resnet50",
+                 "mobilenet": "mobilenet_v2", "mobilenetv2": "mobilenet_v2",
+                 "vit": "vit_small", "deit": "vit_small"}
+    for root in ckpt_roots:
+        if not root:
+            continue
+        d = Path(root)
+        scanned.append(str(d))
+        if not d.is_dir():
+            continue
+        files = [p for p in d.rglob("*") if p.suffix in
+                 (".pth", ".pt", ".tar") and p.is_file()]
+        for f in files[:200]:
+            name = f.name.lower()
+            for key, arch in arch_keys.items():
+                if key in name and arch not in checkpoints:
+                    checkpoints[arch] = str(f)
+    return {"imagenet_root": imagenet_root, "checkpoints": checkpoints,
+            "scanned": scanned}
+
+
 @fp8_cmd_group.command()
 @click.option("--workdir", default="/tmp/fp8tpu_rehearsal")
 @click.option("--images-dir", type=str, default=None,
-              help="REAL ImageNet root; omitted -> synthetic 1000-class tree")
+              help="REAL ImageNet root; omitted -> auto-detect, then "
+                   "synthetic 1000-class tree")
 @click.option("--model-dirs", type=str, default=None,
-              help="comma-separated arch=ckpt.pth; omitted -> synthetic ckpts")
+              help="comma-separated arch=ckpt.pth; omitted -> auto-detect, "
+                   "then synthetic ckpts")
 @click.option("--archs", default="resnet18,mobilenet_v2,vit_small")
 @click.option("--platform", type=str, default=None)
 @click.option("--batch-size", type=int, default=64)
 @click.option("--images", type=int, default=2000)
 @click.option("--max-eval-batches", type=int, default=None)
+@click.option("--report-out", type=str, default=None,
+              help="write the readiness report JSON here")
+@click.option("--scan-only", is_flag=True,
+              help="print the asset-scan report and the exact command a "
+                   "real run would execute, without running it")
 def preflight(**kw):
     """One-command readiness check of the real-data PTQ path.
 
-    Drives tools/dress_rehearsal.py: torch-checkpoint conversion ->
-    ImageFolder decode -> calibration -> fixed-range eval for every arch.
-    Without real assets it runs on synthetic checkpoints + JPEGs (chance
-    top-1; the PATH is what's validated); pointing --images-dir/--model-dirs
-    at real assets makes the same command produce the BASELINE.md deltas.
+    First auto-detects mounted ImageNet trees / pretrained checkpoints
+    (standard mount points + $IMAGENET_DIR/$MODEL_DIR) and reports exactly
+    what a real run would execute.  Then drives tools/dress_rehearsal.py:
+    torch-checkpoint conversion -> ImageFolder decode -> calibration ->
+    fixed-range eval for every arch.  Without real assets it runs on
+    synthetic checkpoints + JPEGs (chance top-1; the PATH is what's
+    validated); detected or explicit real assets make the same command
+    produce the BASELINE.md deltas.
     """
     import subprocess
     import sys
     from pathlib import Path
+
+    scan = _scan_real_assets()
+    images_dir = kw["images_dir"] or scan["imagenet_root"]
+    model_dirs = kw["model_dirs"]
+    if not model_dirs and scan["checkpoints"]:
+        model_dirs = ",".join(f"{a}={p}"
+                              for a, p in scan["checkpoints"].items())
 
     repo = Path(__file__).resolve().parent.parent
     cmd = [sys.executable, str(repo / "tools" / "dress_rehearsal.py"),
            "--workdir", kw["workdir"], "--archs", kw["archs"],
            "--batch-size", str(kw["batch_size"]),
            "--images", str(kw["images"])]
-    if kw["images_dir"]:
-        cmd += ["--images-dir", kw["images_dir"]]
-    if kw["model_dirs"]:
-        cmd += ["--model-dirs", kw["model_dirs"]]
+    if images_dir:
+        cmd += ["--images-dir", images_dir]
+    if model_dirs:
+        cmd += ["--model-dirs", model_dirs]
     if kw["platform"]:
         cmd += ["--platform", kw["platform"]]
     if kw["max_eval_batches"]:
         cmd += ["--max-eval-batches", str(kw["max_eval_batches"])]
+
+    report = {"scan": scan,
+              "resolved_images_dir": images_dir,
+              "resolved_model_dirs": model_dirs,
+              "mode": ("REAL assets" if images_dir or model_dirs
+                       else "synthetic (no real assets found)"),
+              "command": " ".join(cmd)}
+    print(json.dumps(report, indent=2))
+    if kw["report_out"]:
+        Path(kw["report_out"]).write_text(json.dumps(report, indent=2))
+    if kw["scan_only"]:
+        return
     raise SystemExit(subprocess.call(cmd))
 
 

@@ -19,7 +19,7 @@ plain linen module re-use (one module instance, called twice).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -97,9 +97,12 @@ class QuantizedResNet(nn.Module):
     tie_avgpool: bool = True                             # False for LSQ_paper
     # exact space-to-depth stem (ops/s2d.py): 7x7/s2 conv on (224,224,3)
     # becomes 4x4/s1 on (112,112,12) — same numerics, MXU-friendly shape.
-    # Deployment opt-in; the fused Pallas stem path (gated off on v5e) is
-    # skipped when enabled because the transform covers the same block.
-    stem_s2d: bool = False
+    # True: transform in-graph; "input": the serving pipeline delivers
+    # pre-s2d (N,112,112,12) images (free host-side shuffle, MLPerf-TPU
+    # pattern).  Deployment opt-in; the fused Pallas stem path (gated off
+    # on v5e) is skipped when enabled because the transform covers the
+    # same block.
+    stem_s2d: Union[bool, str] = False
 
     def weight_spec_fn(self):
         """Param-path -> weight QuantizerSpec, resolving quant_setup preset
@@ -297,7 +300,7 @@ def resnet_configs(base: LayerQuantConfig, quant_setup: Optional[str]):
 
 def resnet18_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
                        num_classes: int = 1000,
-                       stem_s2d: bool = False) -> QuantizedResNet:
+                       stem_s2d: Union[bool, str] = False) -> QuantizedResNet:
     return QuantizedResNet(stage_sizes=(2, 2, 2, 2), bottleneck=False,
                            num_classes=num_classes, stem_s2d=stem_s2d,
                            **resnet_configs(base, quant_setup))
@@ -305,7 +308,7 @@ def resnet18_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None
 
 def resnet50_quantized(base: LayerQuantConfig, quant_setup: Optional[str] = None,
                        num_classes: int = 1000,
-                       stem_s2d: bool = False) -> QuantizedResNet:
+                       stem_s2d: Union[bool, str] = False) -> QuantizedResNet:
     return QuantizedResNet(stage_sizes=(3, 4, 6, 3), bottleneck=True,
                            num_classes=num_classes, stem_s2d=stem_s2d,
                            **resnet_configs(base, quant_setup))

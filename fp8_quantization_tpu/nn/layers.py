@@ -751,7 +751,13 @@ class QuantConv(QuantizedLayerBase):
     # an EXACT 4x4/s1 conv on the block-2 s2d input — applied after weight
     # fake-quant, so numerics are unchanged for every quant method.  Opt-in
     # (QuantizedResNet.stem_s2d); only the general XLA conv path consumes it.
-    s2d: bool = False
+    #   False    off
+    #   True     transform the input in-graph (one extra HBM pass)
+    #   "input"  the input ALREADY arrives s2d'd (N, H/2, W/2, 4*cin) — the
+    #            serving pipeline delivers the transform (a free host-side
+    #            memory shuffle, the MLPerf-TPU pattern); the kernel param
+    #            keeps its original (7,7,cin,F) shape for checkpoint parity
+    s2d: Union[bool, str] = False
 
     def _conv_fused_state(self, x, mode, quant_w, quant_a, train_bn):
         """Deployment introspection for block-level fusion
@@ -796,6 +802,10 @@ class QuantConv(QuantizedLayerBase):
                                           train_bn)
         x, x_factor_in = factored.split(x)
         in_features = x.shape[-1]
+        if self.s2d == "input":
+            # pre-s2d serving input: the array carries 4*cin channels but
+            # the param (and all quant state) stays in original geometry
+            in_features //= 4
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
             (*self.kernel_size, in_features // self.feature_group_count,
@@ -810,8 +820,9 @@ class QuantConv(QuantizedLayerBase):
                 kernel, self.features, self.bn_eps)
 
         from fp8_quantization_tpu.ops.pallas import autotune as _at
-        int8_xla = self._int8_xla_ok(mode, train_bn, quant_w, quant_a,
-                                     x_factor_in)
+        int8_xla = (self._int8_xla_ok(mode, train_bn, quant_w, quant_a,
+                                      x_factor_in)
+                    and not self.s2d)   # s2d rides the general conv path
 
         # fully fused Pallas path: 1x1 conv == matmul (MobileNetV2's dominant
         # op); quant + matmul + BN/bias + act + out-quant in one kernel.
@@ -974,11 +985,13 @@ class QuantConv(QuantizedLayerBase):
                 and self.strides == (2, 2)
                 and self.padding == ((3, 3), (3, 3))
                 and self.feature_group_count == 1
-                and xm.ndim == 4 and xm.shape[1] % 2 == 0
-                and xm.shape[2] % 2 == 0):
+                and xm.ndim == 4
+                and (self.s2d == "input"
+                     or (xm.shape[1] % 2 == 0 and xm.shape[2] % 2 == 0))):
             from fp8_quantization_tpu.ops.s2d import (s2d_stem_kernel,
                                                       space_to_depth)
-            xm = space_to_depth(xm)
+            if self.s2d != "input":
+                xm = space_to_depth(xm)
             wm, strides, padding = s2d_stem_kernel(wm)
         y = jax.lax.conv_general_dilated(
             xm, wm, window_strides=strides, padding=padding,

@@ -139,3 +139,35 @@ def test_model_stem_s2d_deployed_config():
     y_s2d = japply(m_s2d, dvars, x, mode="fixed", quant_w=False)
     np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_model_stem_s2d_input_mode():
+    """stem_s2d='input': the model consumes pre-transformed (H/2,W/2,4C)
+    serving input with the ORIGINAL checkpoint/quant state, matching the
+    standard model's logits."""
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+    from fp8_quantization_tpu.models.resnet import (
+        QuantizedResNet, resnet_configs)
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.ops.s2d import space_to_depth
+    from tests._tiny import japply
+
+    base = make_layer_config(
+        qmethod="fp_quantizer", per_channel_weights=True,
+        fp8_mantissa_bits=4, fp8_set_maxval=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="bf16", deploy_cast_quant=True, conv_out_bf16=True)
+    kw = dict(stage_sizes=(1, 1, 1, 1), bottleneck=False, num_classes=5,
+              **resnet_configs(base, None))
+    m_ref = QuantizedResNet(**kw)
+    m_s2d = QuantizedResNet(stem_s2d="input", **kw)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 3)), jnp.float32)
+    variables = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x)
+    variables = calibrate(m_ref, variables, [x])
+
+    y_ref = japply(m_ref, variables, x, mode="fixed")
+    y_s2d = japply(m_s2d, variables, space_to_depth(x), mode="fixed")
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
+                               rtol=2e-2, atol=2e-2)
