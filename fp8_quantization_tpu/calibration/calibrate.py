@@ -76,22 +76,28 @@ def calibrate(model, variables: dict, batches: Iterable, *,
     StopForwardException partial-forward mode; see partial_quant_updates).
     """
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(quant_state, x):
+    # `others` is an explicit jit ARGUMENT, not a closure: closed-over
+    # device arrays are baked into the executable as constants, so every
+    # calibrate compile would serialize + upload the full parameter set
+    # (~90 MB for ViT-S) through the dev tunnel and bloat the persistent
+    # compile cache; as arguments they stay resident on the device.
+    @partial(jax.jit, donate_argnums=(1,) if donate else ())
+    def step(others, quant_state, x):
         _, updates = model.apply(
-            {**variables, "quant": quant_state}, x, mode="calibrate",
+            {**others, "quant": quant_state}, x, mode="calibrate",
             quant_w=quant_w, quant_a=quant_a, mutable=["quant"])
         if stop_after is not None:
             return partial_quant_updates(updates["quant"], quant_state,
                                          stop_after)
         return updates["quant"]
 
+    others = {k: v for k, v in variables.items() if k != "quant"}
     quant_state = variables["quant"]
     for i, batch in enumerate(batches):
         if num_batches is not None and i >= num_batches:
             break
         x = batch[0] if isinstance(batch, (tuple, list)) else batch
-        quant_state = step(quant_state, x)
+        quant_state = step(others, quant_state, x)
         log.info("calibration batch %d done", i)
     return {**variables, "quant": quant_state}
 

@@ -128,6 +128,26 @@ def bake_int8_weights(model, variables: Dict[str, Any], example_input
     out = dict(variables)
     if "baked_int8" in upd:
         out["baked_int8"] = upd["baked_int8"]
+        # int8_assume_signed (config) statically elides the s_w-rowsum
+        # algebra; validate the claim here against the CONCRETE baked grid
+        # signedness — the one place both are host-visible
+        cfg = getattr(model, "config", None)
+        if cfg is not None and getattr(cfg, "int8_assume_signed", False):
+            import numpy as np
+
+            def _walk(tree, path=()):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        yield from _walk(v, path + (k,))
+                    elif k == "w_signed":
+                        yield path, v
+            bad = ["/".join(p) for p, v in _walk(out["baked_int8"])
+                   if float(np.asarray(v)) != 1.0]
+            if bad:
+                raise ValueError(
+                    "int8_assume_signed=True but unsigned weight grids were "
+                    f"baked for: {bad} — drop the flag or the offending "
+                    "layers' unsigned ranges")
     return out
 
 

@@ -56,6 +56,15 @@ class LayerQuantConfig:
     # operands to bf16.  Integer accumulation is exact; parity pinned by
     # tests/test_pallas_qmatmul.py::test_int8_native_mxu_datapath.
     int8_mxu: bool = False
+    # Deployment assertion for the s8 datapath: the weight grids are SIGNED
+    # (the overwhelmingly common case — symmetric weights with both signs),
+    # made STATIC so the zero-point algebra's s_w-rowsum term is elided at
+    # trace time.  XLA cannot dead-code it when signedness is traced: the
+    # rowsum lowers to a cross-lane VPU reduce that measured ~0.8 ms/block
+    # on the batch-128 ViT (12.8 of the step's 38 ms) even though s_w == 0.
+    # nn/bake.bake_int8_weights VALIDATES the claim against the concrete
+    # baked signedness and raises if any layer's grid is unsigned.
+    int8_assume_signed: bool = False
 
     def replace(self, **kw) -> "LayerQuantConfig":
         return dataclasses.replace(self, **kw)
@@ -101,6 +110,7 @@ def make_layer_config(
     deploy_cast_quant: bool = False,
     deploy_act_f8: bool = False,
     int8_mxu: bool = False,
+    int8_assume_signed: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -147,4 +157,5 @@ def make_layer_config(
         act_quant=act_spec,
         weight_range=weight_range, act_range=act_range,
         quantize_input=quantize_input, bn_mode=bn_mode, engine=engine,
-        conv_out_bf16=conv_out_bf16, int8_mxu=int8_mxu)
+        conv_out_bf16=conv_out_bf16, int8_mxu=int8_mxu,
+        int8_assume_signed=int8_assume_signed)

@@ -943,7 +943,9 @@ class QuantConv(QuantizedLayerBase):
                 padding=self.padding,
                 feature_group_count=self.feature_group_count,
                 scale=scale, shift=shift,
-                act_fn=get_activation(self.activation))
+                act_fn=get_activation(self.activation),
+                out_bf16=self.config.conv_out_bf16,
+                signed_static=self.config.int8_assume_signed)
 
         # fused depthwise 3x3 (MobileNetV2's dw stage): 9-tap VPU stencil +
         # folded BN + relu6 + out-quant in one kernel — collapses the
@@ -1152,7 +1154,9 @@ class QuantLinear(QuantizedLayerBase):
             y2d = int8_matmul(x2d, wsg8, w_delta, signed, a_delta, a_zero,
                               self.config.act_quant.n_bits, scale=scale,
                               shift=shift,
-                              act_fn=get_activation(self.activation))
+                              act_fn=get_activation(self.activation),
+                              out_bf16=self.config.conv_out_bf16,
+                              signed_static=self.config.int8_assume_signed)
             return y2d.reshape(*x.shape[:-1], self.features)
 
         if (self._pallas_supported(mode, train_bn)

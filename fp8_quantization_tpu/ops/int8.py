@@ -53,8 +53,11 @@ def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
               feature_group_count: int = 1,
               scale: Optional[jax.Array] = None,
               shift: Optional[jax.Array] = None,
-              act_fn: Optional[Callable] = None) -> jax.Array:
+              act_fn: Optional[Callable] = None,
+              out_bf16: bool = False,
+              signed_static: bool = False) -> jax.Array:
     """s8 x s8 -> s32 convolution equal to the fake-quant chain.
+    ``signed_static``/``out_bf16``: see int8_matmul.
 
     x: (N, H, W, Cin) f32.  wsg: (kh, kw, Cin/g, Cout) int8 weights on the
     recentered grid (int8_shifted_grid, cast to int8 — exact).  w_delta:
@@ -84,7 +87,17 @@ def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
     colsum = jnp.sum(wsg.astype(jnp.int32), axis=(0, 1, 2),
                      dtype=jnp.int32).astype(jnp.float32)       # (Cout,)
     s_w = 128.0 * (1.0 - signed)
-    if feature_group_count == 1:
+    if signed_static:
+        # signed grid asserted at trace time (bake-validated): no rowsum
+        # channel, no reduce_window, no K term
+        acc = lax.conv_general_dilated(
+            xs8, wsg, strides, "VALID",
+            feature_group_count=feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        rowsum = jnp.zeros((), jnp.float32)
+        s_w = 0.0
+    elif feature_group_count == 1:
         # BRANCHLESS rowsum: one extra all-ones output channel makes the
         # conv compute its own window-channel sum as channel `cout` —
         # ~1/cout extra MXU work, zero extra HBM passes, no lax.cond
@@ -127,7 +140,8 @@ def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
         y = y + shift
     if act_fn is not None:
         y = act_fn(y)
-    return y
+    # see int8_matmul: real bf16 output halves inter-layer HBM interchange
+    return y.astype(jnp.bfloat16) if out_bf16 else y
 
 
 def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
@@ -135,8 +149,21 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
                 a_bits: float,
                 scale: Optional[jax.Array] = None,
                 shift: Optional[jax.Array] = None,
-                act_fn: Optional[Callable] = None) -> jax.Array:
-    """(M, K) x (K, N) on the s8 MXU — the linear-layer twin of int8_conv."""
+                act_fn: Optional[Callable] = None,
+                out_bf16: bool = False,
+                signed_static: bool = False) -> jax.Array:
+    """(M, K) x (K, N) on the s8 MXU — the linear-layer twin of int8_conv.
+
+    ``out_bf16`` stores the dequantized output in bfloat16 (2^-9 relative
+    rounding, the ``conv_out_bf16`` deployment lever): the f32 interchange
+    between int8 layers was ~40% of the ViT step's HBM bytes.
+
+    ``signed_static`` (config ``int8_assume_signed``, bake-validated)
+    asserts the weight grid is signed at TRACE time, eliding the
+    s_w-rowsum/K terms entirely — XLA cannot DCE them when ``signed`` is a
+    traced value (it lowers the rowsum to a cross-lane VPU reduce even
+    though s_w == 0; measured 12.8 ms of the batch-128 ViT's 38 ms step).
+    """
     k = x2d.shape[-1]
     delta_x, zp = _act_int_params(a_delta, a_zero, float(a_bits))
     xint = jnp.clip(jnp.round(x2d / delta_x) + zp, 0.0, 2.0 ** a_bits - 1.0)
@@ -145,14 +172,14 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
     acc = lax.dot_general(xs8, wsg, (((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
     colsum = jnp.sum(wsg.astype(jnp.int32), axis=0).astype(jnp.float32)
-    s_w = 128.0 * (1.0 - signed)
-    # branchless: s_w is zero for the common signed grid and the row sum
-    # fuses with the prologue (a lax.cond here would be a fusion barrier)
-    rowsum = s_w * jnp.sum(xs8.astype(jnp.int32),
-                           axis=-1).astype(jnp.float32)
-
-    y = (acc.astype(jnp.float32) + rowsum[:, None]
-         + (128.0 - zp) * colsum + k * (128.0 - zp) * s_w)
+    y = acc.astype(jnp.float32) + (128.0 - zp) * colsum
+    if not signed_static:
+        # branchless: s_w is zero for the common signed grid, but the row
+        # sum still lowers to a VPU reduce per layer (see docstring)
+        s_w = 128.0 * (1.0 - signed)
+        rowsum = s_w * jnp.sum(xs8.astype(jnp.int32),
+                               axis=-1).astype(jnp.float32)
+        y = y + rowsum[:, None] + k * (128.0 - zp) * s_w
     y = y * (delta_x * jnp.maximum(w_delta, 1e-8))
     if scale is not None:
         y = y * scale
@@ -160,4 +187,7 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
         y = y + shift
     if act_fn is not None:
         y = act_fn(y)
-    return y
+    # a bf16->f32 round trip would still STORE f32 (the fusion output dtype
+    # is what hits HBM) — return real bf16; consumers promote to f32 when
+    # they combine it with f32 quantizer scalars
+    return y.astype(jnp.bfloat16) if out_bf16 else y

@@ -171,3 +171,86 @@ def test_int8_conv_jits():
         xx, wsg8, delta, sg, jnp.asarray(0.05), jnp.asarray(128.0), 8))
     out = fn(x)
     assert out.shape == (1, 6, 6, 8) and jnp.isfinite(out).all()
+
+
+def test_int8_matmul_out_bf16_close():
+    """out_bf16 stores: value within bf16 rounding of the exact f32 path,
+    dtype actually bfloat16 (the HBM win is the stored dtype)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.normal(0, 1, (32, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (64, 16)), jnp.float32)
+    w_delta = jnp.max(jnp.abs(w), axis=0) / 127.0
+    wsg = int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
+
+    kw = dict(a_delta=jnp.asarray(0.05), a_zero=jnp.asarray(128.0),
+              a_bits=8.0)
+    y = int8_matmul(x, wsg, w_delta, jnp.asarray(1.0), **kw)
+    yb = int8_matmul(x, wsg, w_delta, jnp.asarray(1.0), out_bf16=True, **kw)
+    assert yb.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(yb, np.float32), np.asarray(y),
+                               rtol=8e-3, atol=1e-4)
+
+
+def test_int8_matmul_signed_static_matches_generic():
+    """signed_static elides the s_w terms; for a signed grid the results
+    must be bit-identical to the generic path."""
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.normal(0, 1, (32, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (64, 16)), jnp.float32)
+    w_delta = jnp.max(jnp.abs(w), axis=0) / 127.0
+    wsg = int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
+    kw = dict(a_delta=jnp.asarray(0.05), a_zero=jnp.asarray(117.0),
+              a_bits=8.0)
+    y = int8_matmul(x, wsg, w_delta, jnp.asarray(1.0), **kw)
+    ys = int8_matmul(x, wsg, w_delta, jnp.asarray(1.0), signed_static=True,
+                     **kw)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ys))
+
+
+def test_int8_conv_signed_static_matches_generic():
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 16, 8)), jnp.float32)
+    w_delta = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    wsg = int8_shifted_grid(w, w_delta, 1.0, 8).astype(jnp.int8)
+    kw = dict(a_delta=jnp.asarray(0.05), a_zero=jnp.asarray(117.0),
+              a_bits=8.0)
+    y = int8_conv(x, wsg, w_delta, jnp.asarray(1.0), **kw)
+    ys = int8_conv(x, wsg, w_delta, jnp.asarray(1.0), signed_static=True,
+                   **kw)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ys))
+
+
+def test_bake_validates_assume_signed(tmp_path):
+    """bake_int8_weights raises when int8_assume_signed meets an unsigned
+    baked grid (all-positive weights -> unsigned symmetric range)."""
+    import numpy as np
+
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+    from fp8_quantization_tpu.nn.config import make_layer_config
+    from fp8_quantization_tpu.nn.layers import QuantLinear
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+
+    cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=False, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="bf16", int8_mxu=True, int8_assume_signed=True)
+    model = QuantLinear(features=4, config=cfg)
+    x = jnp.asarray(np.random.RandomState(1).normal(0, 1, (4, 8)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # force all-positive weights -> unsigned grid
+    variables = jax.tree.map(lambda a: a, variables)
+    variables = {**variables,
+                 "params": {"kernel": jnp.abs(variables["params"]["kernel"]),
+                            "bias": variables["params"]["bias"]}}
+    variables = calibrate(model, variables, [x])
+    with pytest.raises(ValueError, match="unsigned"):
+        bake_int8_weights(model, variables, x)
