@@ -34,7 +34,8 @@ MODEL_GFLOP = {"resnet18": 3.648, "resnet50": 8.21, "mobilenet_v2": 0.628,
 
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
           arch: str = "resnet18", act_f8: bool = False, qscheme: str = "fp8",
-          stem_s2d: bool = False, int8_signed: bool = False):
+          stem_s2d: bool = False, int8_signed: bool = False,
+          quantize_input: bool = False):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
@@ -61,7 +62,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             weight_range_method="current_minmax",
             act_range_method="allminmax", engine=engine,
             conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant,
-            deploy_act_f8=act_f8)
+            deploy_act_f8=act_f8, quantize_input=quantize_input)
     ctor = {"mobilenet_v2": mobilenetv2_quantized,
             "vit_small": vit_small_quantized,
             "resnet18": resnet18_quantized,
@@ -78,7 +79,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             jax.random.PRNGKey(0), (batch, 224, 224, 3), jnp.float32)
     x = _SETUP_CACHE["x"]
     fmt = ("parity" if engine == "parity" else "factored") + (
-        "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "")
+        "+cast" if cast_quant else "") + ("+int8" if qscheme == "int8" else "") \
+        + ("+qin" if quantize_input else "")
     import sys
 
     def _mark(msg):
@@ -157,7 +159,8 @@ def main():
     stats = {}
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
-            qscheme="fp8", stem_s2d=False, int8_signed=False):
+            qscheme="fp8", stem_s2d=False, int8_signed=False,
+            quantize_input=False):
         if name == "fp32_bf16ops":
             if args.no_baseline:
                 return
@@ -169,7 +172,7 @@ def main():
         print(f"[profile] building {name}", file=sys.stderr, flush=True)
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
                                     args.arch, act_f8, qscheme, stem_s2d,
-                                    int8_signed)
+                                    int8_signed, quantize_input)
         if args.input_bf16:
             x = x.astype(jnp.bfloat16)
         if stem_s2d == "input":
@@ -197,6 +200,10 @@ def main():
     add("fp8_cast_convbf16", "bf16", True, True, cast_quant=True)
     add("fp8_cast_convbf16_actf8", "bf16", True, True, cast_quant=True,
         act_f8=True)
+    # quantize_input placement A/B (VERDICT r3 item 3): quant runs as each
+    # CONSUMER's input prologue instead of the producer's epilogue
+    add("fp8_cast_convbf16_qin", "bf16", True, True, cast_quant=True,
+        quantize_input=True)
     if args.stem_s2d:
         add("fp32_s2d", "bf16", False, False, stem_s2d=True)
         add("fp8_cast_convbf16_s2d", "bf16", True, True, cast_quant=True,

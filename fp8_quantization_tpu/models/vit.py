@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from fp8_quantization_tpu.nn import factored
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
-from fp8_quantization_tpu.nn.factored import Factored
+from fp8_quantization_tpu.nn.factored import Factored, fadd
 from fp8_quantization_tpu.nn.layers import (
     QuantConv, QuantLayerNorm, QuantLinear, QuantizedActivation)
 
@@ -89,14 +89,23 @@ class QuantEncoderBlock(nn.Module):
         # Outputs consumed by fp32 arithmetic (attention math, residual
         # adds) stay plain arrays.
         fkw = dict(kw)
-        if mode == "fixed" and self.config.engine in ("bf16", "pallas"):
+        fast = mode == "fixed" and self.config.engine in ("bf16", "pallas")
+        if fast:
             fkw["out"] = "factored"
+        # Residual-add act quantizers also emit Factored on the fast path:
+        # their consumers are the LNs (scale-invariant — they materialize
+        # the factor into their own read pass) and the next residual add
+        # (fadd materializes in-fusion), so the f32 block-state tensor is
+        # never stored — bf16 norms halve the res-chain HBM traffic
+        # (trace attribution: the standalone res-act quant passes were
+        # ~2 ms of the batch-128 step's 3.2 ms quantization tax).
         y = QuantLayerNorm(config=self.config, name="ln1")(x, **fkw)
         y = QuantSelfAttention(dim=self.dim, num_heads=self.num_heads,
                                config=self.config, name="attn")(y, **kw)
-        x = x + y
+        x = fadd(x, y)
         x = QuantizedActivation(config=self.config, name="res1_act")(
-            x, mode=mode, quant_a=quant_a)
+            x, mode=mode, quant_a=quant_a,
+            out="factored" if fast else "value")
 
         y = QuantLayerNorm(config=self.config, name="ln2")(x, **fkw)
         y = QuantLinear(features=self.dim * self.mlp_ratio, use_bias=True,
@@ -104,9 +113,10 @@ class QuantEncoderBlock(nn.Module):
                         name="mlp1")(y, **fkw)
         y = QuantLinear(features=self.dim, use_bias=True, config=self.config,
                         name="mlp2")(y, **kw)
-        x = x + y
+        x = fadd(x, y)
         return QuantizedActivation(config=self.config, name="res2_act")(
-            x, mode=mode, quant_a=quant_a)
+            x, mode=mode, quant_a=quant_a,
+            out="factored" if fast else "value")
 
 
 class QuantizedViT(nn.Module):
