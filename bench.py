@@ -156,11 +156,13 @@ def main():
         conv_out_bf16=True)       # bf16 conv stores into fused quant epilogues
 
     # MobileNetV2 FP8, bf16 normalized stores — the best measured fp8
-    # config for this model (round-3 sweep: 12.35ms vs act-f8 13.71ms vs
-    # fp32 8.37ms at batch 256; act-f8 halves bytes but MNv2 is not
-    # bandwidth-bound and the f8 stores block epilogue fusion)
+    # config for this model (round-3 sweep: act-f8 halves bytes but MNv2
+    # is not bandwidth-bound and the f8 stores block epilogue fusion;
+    # round-4 re-confirmed vs quantize_input placement and the no-select
+    # ieee-subnorm rounding, both slower — RESULTS.md).  Batch 1024 is the
+    # measured best point (24.1k vs 21.3k img/s at 256; round-4 sweep).
     bench_model("mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
-                256, make_layer_config(**fp8_kw))
+                1024, make_layer_config(**fp8_kw))
 
     # ViT-S/16 FP8, factored fast path through the transformer (round-3
     # verdict: naive attention beats flash at S=197; quant tax ~12%)

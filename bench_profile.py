@@ -35,7 +35,7 @@ MODEL_GFLOP = {"resnet18": 3.648, "resnet50": 8.21, "mobilenet_v2": 0.628,
 def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
           arch: str = "resnet18", act_f8: bool = False, qscheme: str = "fp8",
           stem_s2d: bool = False, int8_signed: bool = False,
-          quantize_input: bool = False):
+          quantize_input: bool = False, cast_ieee: bool = False):
     """Model + baked variables + input.  Calibration/bake are shared per
     engine bake-format ('parity' vs factored) to keep tunnel traffic low."""
     from fp8_quantization_tpu.calibration.calibrate import calibrate
@@ -62,7 +62,8 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             weight_range_method="current_minmax",
             act_range_method="allminmax", engine=engine,
             conv_out_bf16=conv_out_bf16, deploy_cast_quant=cast_quant,
-            deploy_act_f8=act_f8, quantize_input=quantize_input)
+            deploy_act_f8=act_f8, quantize_input=quantize_input,
+            deploy_cast_ieee=cast_ieee)
     ctor = {"mobilenet_v2": mobilenetv2_quantized,
             "vit_small": vit_small_quantized,
             "resnet18": resnet18_quantized,
@@ -160,7 +161,7 @@ def main():
 
     def add(name, engine, conv_bf16, quant_a, cast_quant=False, act_f8=False,
             qscheme="fp8", stem_s2d=False, int8_signed=False,
-            quantize_input=False):
+            quantize_input=False, cast_ieee=False):
         if name == "fp32_bf16ops":
             if args.no_baseline:
                 return
@@ -172,7 +173,7 @@ def main():
         print(f"[profile] building {name}", file=sys.stderr, flush=True)
         model, variables, x = build(engine, conv_bf16, args.batch, cast_quant,
                                     args.arch, act_f8, qscheme, stem_s2d,
-                                    int8_signed, quantize_input)
+                                    int8_signed, quantize_input, cast_ieee)
         if args.input_bf16:
             x = x.astype(jnp.bfloat16)
         if stem_s2d == "input":
@@ -204,6 +205,9 @@ def main():
     # CONSUMER's input prologue instead of the producer's epilogue
     add("fp8_cast_convbf16_qin", "bf16", True, True, cast_quant=True,
         quantize_input=True)
+    # pure-saturating-cast act rounding (no subnormal select; RESULTS r4)
+    add("fp8_cast_convbf16_ieee", "bf16", True, True, cast_quant=True,
+        cast_ieee=True)
     if args.stem_s2d:
         add("fp32_s2d", "bf16", False, False, stem_s2d=True)
         add("fp8_cast_convbf16_s2d", "bf16", True, True, cast_quant=True,

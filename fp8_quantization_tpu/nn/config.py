@@ -111,6 +111,7 @@ def make_layer_config(
     deploy_act_f8: bool = False,
     int8_mxu: bool = False,
     int8_assume_signed: bool = False,
+    deploy_cast_ieee: bool = False,
 ) -> LayerQuantConfig:
     """Build a LayerQuantConfig from reference-style flag values.
 
@@ -148,6 +149,13 @@ def make_layer_config(
                               **act_kwargs)
 
     act_spec = _qspec(act_qmethod, n_bits_act or n_bits, False)
+    if deploy_cast_ieee:
+        # pure-saturating-cast rounding for ACTIVATION quantizers (weight
+        # chains leave the step via baking): same values as deploy_act_f8,
+        # bf16 storage — the no-select epilogue MobileNetV2's depthwise
+        # fusions need (RESULTS.md round 4)
+        act_spec = act_spec.replace(cast_fastpath=True,
+                                    cast_ieee_subnorm=True)
     if deploy_act_f8:
         # IEEE-f8 activation storage (ops/fp8.fp8_quantize_cast store_f8):
         # halves inter-layer activation HBM traffic; rides the cast fastpath.

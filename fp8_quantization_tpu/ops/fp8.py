@@ -263,7 +263,7 @@ def fp8_cast_consts(maxval: jax.Array, mantissa_bits, n_bits: int = 8,
 
 
 def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False,
-                      store_f8: bool = False):
+                      store_f8: bool = False, ieee_subnorm: bool = False):
     """Fixed-mode FP8 fake-quant via one saturating hardware cast + a
     magic-constant subnormal fixup (bit-exact vs the reference grid).
 
@@ -292,8 +292,17 @@ def fp8_quantize_cast(x: jax.Array, c: dict, *, normalized: bool = False,
         assert normalized, "store_f8 is a normalized-storage mode"
         return y.astype(dtype)
     qc = y.astype(dtype).astype(jnp.float32)
-    qb = (y + c["cast_magic"]) - c["cast_magic"]
-    q = jnp.where(jnp.abs(y) < c["cast_sn"], qb, qc)
+    if ieee_subnorm:
+        # ``ieee_subnorm`` (deployment): the saturating cast IS the whole
+        # quantizer — same VALUES as store_f8 (the sub-smallest-normal
+        # region coarsens to the IEEE subnormal grid) but stored bf16/f32.
+        # Drops the magic add/sub + abs/compare/SELECT — the select is the
+        # op tools/probe_dw_fusion.py measured breaking conv-into-conv
+        # fusion nesting on MobileNetV2's depthwise chains.
+        q = qc
+    else:
+        qb = (y + c["cast_magic"]) - c["cast_magic"]
+        q = jnp.where(jnp.abs(y) < c["cast_sn"], qb, qc)
     if normalized:
         return q.astype(jnp.bfloat16)
     return q * c["cast_scale"]

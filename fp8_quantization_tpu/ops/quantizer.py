@@ -76,6 +76,13 @@ class QuantizerSpec:
     # f8 smallest_normal coarsen to the IEEE subnormal grid (2x the paper
     # grid's bottom step); model delta pinned in tests.  Opt-in.
     store_f8: bool = False
+    # Deployment rounding mode (requires cast_fastpath): the saturating
+    # cast IS the whole quantizer — values identical to store_f8 (the
+    # <=1.6%-of-maxval sub-smallest-normal region coarsens to the IEEE
+    # subnormal grid) but stored bf16, dropping the magic/select subnormal
+    # fixup whose SELECT breaks conv-into-conv fusion nesting
+    # (tools/probe_dw_fusion.py).  Opt-in.
+    cast_ieee_subnorm: bool = False
     # QAT gradient estimator for the rounding op (rounding_utils.py:158-162):
     # "ste" | "stoch_round" | "ewgs" | "stacked_sigmoid"
     grad_estimator: str = "ste"
@@ -233,10 +240,12 @@ def apply_prepared(spec: QuantizerSpec, consts: QuantState, x: jax.Array, *,
     c = {k: _broadcast(v, x.ndim, channel_axis) for k, v in consts.items()}
     if spec.cast_fastpath and "cast_probe" in consts:
         if factored:
-            return (fp8_ops.fp8_quantize_cast(x, c, normalized=True,
-                                              store_f8=spec.store_f8),
+            return (fp8_ops.fp8_quantize_cast(
+                        x, c, normalized=True, store_f8=spec.store_f8,
+                        ieee_subnorm=spec.cast_ieee_subnorm),
                     c["cast_scale"])
-        return fp8_ops.fp8_quantize_cast(x, c)
+        return fp8_ops.fp8_quantize_cast(
+            x, c, ieee_subnorm=spec.cast_ieee_subnorm)
     if factored:
         x_norm = fp8_ops.fp8_quantize_prepared(
             x, c, normalized=True, discretizer=discretizer)

@@ -170,3 +170,22 @@ def test_apply_prepared_factored_store_f8_dispatch():
     norm_b, factor_b = q.apply_prepared(spec_bf16, consts, x, factored=True)
     assert norm_b.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(factor), np.asarray(factor_b))
+
+
+def test_cast_ieee_subnorm_matches_store_f8_values():
+    """ieee_subnorm rounding == the store_f8 value set (upcast), for every
+    mantissa width with an IEEE dtype; only the storage dtype differs."""
+    from fp8_quantization_tpu.ops.fp8 import (fp8_cast_consts,
+                                              fp8_quantize_cast)
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.normal(0, 1.5, (4096,)), jnp.float32)
+    for mb in (2, 3, 4):
+        c = fp8_cast_consts(jnp.asarray(3.0), mb)
+        if c is None:
+            continue
+        y_ieee = fp8_quantize_cast(x, c, normalized=True, ieee_subnorm=True)
+        y_f8 = fp8_quantize_cast(x, c, normalized=True, store_f8=True)
+        np.testing.assert_array_equal(
+            np.asarray(y_ieee, np.float32),
+            np.asarray(y_f8.astype(jnp.float32)))
