@@ -169,15 +169,21 @@ def main():
     bench_model("vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
                 make_layer_config(**fp8_kw))
 
-    # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights
-    bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 512,
+    # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights.
+    # Round-4 levers (RESULTS.md): bf16 output stores + static signed-grid
+    # elision fixed the s32-materialization pathology (17.4 -> 6.4 GB/step
+    # at batch 512); batch 1024 reaches 27.9k img/s / 51.7% MFU — parity
+    # with the fp8 headline.  The Pallas fused int8 kernels were raced at
+    # model level and lose 4x (81.9 ms); this is the winning s8 route.
+    bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 1024,
                 make_layer_config(
                     qmethod="symmetric_uniform",
                     act_qmethod="asymmetric_uniform",
                     per_channel_weights=True, quantize_input=True,
                     weight_range_method="current_minmax",
                     act_range_method="allminmax", engine="bf16",
-                    int8_mxu=True),
+                    int8_mxu=True, conv_out_bf16=True,
+                    int8_assume_signed=True),
                 qscheme="int8")
 
     # headline LAST: ResNet-18 FP8 deployment (driver parses the last line;

@@ -234,19 +234,25 @@ def main():
         add("int8_pallas", "pallas", False, True, qscheme="int8")
         at.MODE = "auto"
 
-    # interleaved timing
+    # interleaved timing.  Two input buffers, alternated per iteration:
+    # the dev tunnel short-circuits repeated identical (executable, args)
+    # dispatches through a result cache — observed as impossible 0.3 ms
+    # "steps" on the int8 variants (memory: tpu-tunnel-quirks).
     times = {name: [] for name in variants}
+    alt = {}
     for name, (fn, variables, x) in variants.items():
+        alt[name] = jnp.roll(x, 1, axis=0)
         out = None
-        for _ in range(2):
-            out = fn(variables, x)
+        for xx in (x, alt[name]):
+            out = fn(variables, xx)
         jax.block_until_ready(out)
     for _ in range(args.reps):
         for name, (fn, variables, x) in variants.items():
+            xs = (x, alt[name])
             t0 = time.perf_counter()
             out = None
-            for _ in range(args.iters):
-                out = fn(variables, x)
+            for i in range(args.iters):
+                out = fn(variables, xs[i % 2])
             jax.block_until_ready(out)
             times[name].append((time.perf_counter() - t0) / args.iters)
 

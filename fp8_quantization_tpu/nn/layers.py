@@ -382,7 +382,10 @@ class QuantizedLayerBase(nn.Module):
             # the standard quant_w=True call convention (un-baked layers
             # still fake-quant correctly).
             w_method = "int_sym"
-            kernel2d = self.get_variable("baked_int8", "w_int8")
+            # 1x1 convs bake the 4-D (1,1,C,F) kernel; the matmul kernel
+            # wants (K, N)
+            kernel2d = self.get_variable(
+                "baked_int8", "w_int8").reshape(-1, features)
             w_channel = self.get_variable("baked_int8", "w_delta")
             w_scalars = jnp.stack([
                 jnp.asarray(0.0, jnp.float32),

@@ -195,6 +195,9 @@ def test_low_bit_qat_recovers_ptq_loss(trained):
     # the drop must be real or the recovery below proves nothing
     assert ptq["top_1_accuracy"] <= 0.9, ptq
 
+    # the train step donates its state buffers — train on copies so the
+    # module-scoped fixture's arrays survive for later tests
+    qvars = jax.tree.map(jnp.copy, qvars)
     state, aux = init_qat_state(
         qvars, w2a4, make_optimizer("Adam", 1e-3),
         make_optimizer("Adam", 1e-4))
@@ -207,3 +210,28 @@ def test_low_bit_qat_recovers_ptq_loss(trained):
     fp32_top1 = fp32_metrics["top_1_accuracy"]
     assert qat["top_1_accuracy"] >= ptq["top_1_accuracy"] + 0.05, (ptq, qat)
     assert fp32_top1 - qat["top_1_accuracy"] <= 0.02, (fp32_top1, ptq, qat)
+
+
+def test_ptq_delta_int8_bench_deployment_config(trained):
+    """The bench's round-4 INT8 deployment config (s8 datapath + baked int
+    weights + bf16 output stores + static-signed elision) holds the same
+    accuracy bar as the plain int8 fake-quant chain."""
+    from fp8_quantization_tpu.nn.bake import bake_int8_weights
+    from fp8_quantization_tpu.nn.config import make_layer_config
+
+    model_fp32, variables, batches, fp32_metrics = trained
+    cfg = make_layer_config(
+        qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
+        per_channel_weights=True, quantize_input=True,
+        weight_range_method="current_minmax", act_range_method="allminmax",
+        engine="bf16", int8_mxu=True, conv_out_bf16=True,
+        int8_assume_signed=True)
+    qmodel = TinyModel(config=cfg, num_classes=8, width=16)
+    qvars = qmodel.init(jax.random.PRNGKey(1), batches[0][0])
+    qvars = {**qvars, "params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    qvars = calibrate(qmodel, qvars, [x for x, _ in batches[:2]])
+    qvars = bake_int8_weights(qmodel, qvars, batches[0][0][:1])
+    m = evaluate(qmodel, qvars, batches)
+    delta = fp32_metrics["top_1_accuracy"] - m["top_1_accuracy"]
+    assert delta <= 0.02, (fp32_metrics, m)
