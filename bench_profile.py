@@ -11,7 +11,11 @@ Usage: python bench_profile.py [--batch 128] [--trace DIR]
 """
 
 import argparse
+import logging
+import os
 import time
+
+logging.basicConfig(level=os.environ.get("LOGLEVEL", "WARNING"))
 
 import jax
 

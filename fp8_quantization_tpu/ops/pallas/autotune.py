@@ -39,7 +39,17 @@ _CACHE_PATH = os.environ.get("FP8TPU_AUTOTUNE_CACHE")   # explicit override
 # v4: v3 "measurements" taken inside a model trace were all failure
 # fallbacks (probe constants became ambient tracers); the probes now run
 # entirely under ensure_compile_time_eval, so v3 verdicts are invalid.
+# v5: races require a WIN_MARGIN.  Round-4 model-level evidence: marginal
+# isolated-shape wins composed into a model LOSE (ResNet engine=pallas
+# 29.5 ms vs 20.6 pure-XLA; MNv2 27.6 vs 11.9) because the isolated
+# composed baseline is pessimistic — in-model, XLA fuses the quant chain
+# into neighboring convs, so the true alternative is cheaper than the
+# isolated one.  A fused kernel must now beat the isolated baseline by
+# 25% to win its gate; v4 verdicts (no margin) are invalid.
 _DISK_LOADED = False
+
+# Required fused-over-composed speedup for a race win (see v5 note above).
+WIN_MARGIN = 1.25
 
 
 def _cache_path() -> str:
@@ -55,7 +65,7 @@ def _cache_path() -> str:
     except RuntimeError:
         kind = "unknown"
     kind = "".join(c if c.isalnum() else "_" for c in kind)
-    return f"/tmp/fp8tpu_autotune_v4_{kind}.json"
+    return f"/tmp/fp8tpu_autotune_v5_{kind}.json"
 
 
 def decisions() -> Dict[Tuple[int, int, int], bool]:
@@ -98,7 +108,7 @@ def _seed_path() -> str:
         kind = "unknown"
     kind = "".join(c if c.isalnum() else "_" for c in kind)
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "autotune_seed", f"v4_{kind}.json")
+                        "autotune_seed", f"v5_{kind}.json")
 
 
 def _load_file(path: str) -> None:
@@ -205,7 +215,7 @@ def _measure(m: int, k: int, n: int) -> bool:
     except Exception as exc:  # measurement must never take the model down
         logger.warning("pallas autotune (%d,%d,%d) failed: %s", m, k, n, exc)
         return _heuristic(m, k, n)
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("pallas autotune (%d,%d,%d): fused %.3fms vs xla %.3fms -> %s",
                 m, k, n, t_fused * 1e3, t_xla * 1e3,
                 "FUSED" if win else "XLA")
@@ -358,7 +368,7 @@ def _resolve_conv3_group(n: int, h: int, cin: int, cout: int, g0: int,
         logger.warning("conv3 autotune (%d,%d,%d,%d,s%d) failed: %s",
                        n, h, cin, cout, stride, exc)
         return 0
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("conv3 autotune (%d,%dx%d,%d->%d,s%d) g=%d: fused %.3fms vs "
                 "xla %.3fms -> %s", n, h, h, cin, cout, stride, chosen,
                 t_fused * 1e3, t_xla * 1e3, "FUSED" if win else "XLA")
@@ -478,7 +488,7 @@ def _resolve_int8_group(n: int, h: int, cin: int, cout: int, g0: int,
     logger.info("conv3 int8 autotune (%d,%dx%d,%d->%d) g=%d: fused %.3fms "
                 "vs xla %.3fms", n, h, h, cin, cout, chosen, t_fused * 1e3,
                 t_xla * 1e3)
-    return chosen if t_fused < t_xla else 0
+    return chosen if t_fused * WIN_MARGIN < t_xla else 0
 
 
 def _dw_fns(n: int, h: int, c: int, g: int, stride: int = 1):
@@ -578,7 +588,7 @@ def _resolve_dw_group(n: int, h: int, c: int, g0: int, stride: int) -> int:
         logger.warning("dw autotune (%d,%d,%d,s%d) failed: %s", n, h, c,
                        stride, exc)
         return 0
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("dw autotune (%d,%dx%d,%d,s%d) g=%d: fused %.3fms vs xla "
                 "%.3fms -> %s", n, h, h, c, stride, chosen, t_fused * 1e3,
                 t_xla * 1e3, "FUSED" if win else "XLA")
@@ -694,7 +704,7 @@ def _resolve_stem_group(n: int, s: int, cin: int, cout: int, g0: int) -> int:
         logger.warning("stem autotune (%d,%d,%d,%d) failed: %s", n, s, cin,
                        cout, exc)
         return 0
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("stem autotune (%d,%dx%d,%d->%d) g=%d kp=%d: fused %.3fms "
                 "vs xla %.3fms -> %s", n, s, s, cin, cout, chosen, kp_chosen,
                 t_fused * 1e3, t_xla * 1e3, "FUSED" if win else "XLA")
@@ -763,7 +773,7 @@ def _resolve_attn(b: int, h: int, s: int, d: int) -> int:
         logger.warning("attn autotune (%d,%d,%d,%d) failed: %s", b, h, s, d,
                        exc)
         return 0
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("attn autotune (%d,%d,%d,%d): flash %.3fms vs xla %.3fms "
                 "-> %s", b, h, s, d, t_fused * 1e3, t_xla * 1e3,
                 "FLASH" if win else "XLA")
@@ -906,7 +916,7 @@ def _resolve_ir_group(n: int, h: int, cin: int, hid: int, cout: int,
         logger.warning("ir-block autotune (%d,%d,%d,%d,%d,s%d) failed: %s",
                        n, h, cin, hid, cout, stride, exc)
         return 0
-    win = t_fused < t_xla
+    win = t_fused * WIN_MARGIN < t_xla
     logger.info("ir-block autotune (%d,%dx%d,%d->%d->%d,s%d) g=%d: fused "
                 "%.3fms vs xla %.3fms -> %s", n, h, h, cin, hid, cout,
                 stride, chosen, t_fused * 1e3, t_xla * 1e3,
