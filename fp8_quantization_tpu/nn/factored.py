@@ -45,6 +45,30 @@ class Factored(NamedTuple):
     factor: jax.Array    # float32 scalar (per-tensor activation quantizers)
 
 
+class PrequantS8(NamedTuple):
+    """An activation pre-quantized onto its CONSUMER's asymmetric-uniform
+    grid by the PRODUCER's epilogue — the int8-datapath dual of Factored.
+
+    The XLA s8 route (ops/int8.py) otherwise runs each layer's quant
+    prologue as a standalone HBM pass: re-read the bf16 interchange
+    tensor, round/clip/cast, write s8 (measured 14.1 ms of ViT-S/16's
+    38 ms batch-128 int8 step, RESULTS.md round 4).  When the producer
+    already has the tensor in registers — an LN fusion, the previous
+    int8 matmul's dequant epilogue — it computes the consumer's prologue
+    there for free and writes ONE-byte s8 instead of two-byte bf16.
+
+    value == (xs8 + 128 - round(zero)) * delta, elementwise exact vs the
+    consumer-side prologue on the same input (ops/int8.prequant_s8 and
+    the int8_matmul/int8_conv prologues share ``_act_int_params``).
+    """
+
+    xs8: jax.Array    # int8, recentered: clip(round(x/delta)+zp, 0, 2^b-1)-128
+    delta: jax.Array  # f32 scalar — the consumer act quantizer's step
+    zero: jax.Array   # f32 scalar — the consumer act quantizer's zero point
+    bits: float       # static Python float — the consumer act quantizer's
+                      # bit width (static: it sizes clip bounds at trace time)
+
+
 def storage_dtype(norm: jax.Array) -> jax.Array:
     """Normalized-grid storage convention: keep 1-byte (IEEE f8) arrays as-is
     (the store_f8 deployment mode, ops/fp8.fp8_quantize_cast), bf16 otherwise.
@@ -73,6 +97,12 @@ def materialize(x: MaybeFactored) -> jax.Array:
     """Full-scale fp32 value (the fake-quantized tensor the reference passes)."""
     if isinstance(x, Factored):
         return x.norm.astype(jnp.float32) * x.factor
+    if isinstance(x, PrequantS8):
+        # (xs8 + 128 - zp) * delta: the real value on the consumer grid.
+        # Fallback only — int8-routed consumers feed xs8 to the MXU directly.
+        from fp8_quantization_tpu.ops.int8 import _act_int_params
+        delta, zp = _act_int_params(x.delta, x.zero, float(x.bits))
+        return (x.xs8.astype(jnp.float32) + (128.0 - zp)) * delta
     return x
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from fp8_quantization_tpu.nn.activations import get_activation
 from fp8_quantization_tpu.nn.config import LayerQuantConfig
-from fp8_quantization_tpu.nn.factored import Factored
+from fp8_quantization_tpu.nn.factored import Factored, PrequantS8
 from fp8_quantization_tpu.nn import factored
 from fp8_quantization_tpu.nn.quantizers import Quantizer
 
@@ -60,6 +60,25 @@ def _pack_act_scalars(spec, astate):
                           spec.scale_domain, spec.eps),
         astate["zero_float"].reshape(()),
         jnp.asarray(0.0, jnp.float32)])
+
+
+def int8_interchange_ok(cfg: LayerQuantConfig) -> bool:
+    """Can layers under this config exchange producer-side s8 operands?
+
+    The model-level predicate for the nn/factored.PrequantS8 protocol: the
+    config must select the XLA s8 datapath (int8_mxu + quantize_input) with
+    the grid shapes ops/int8.py supports — mirrors the per-layer routing in
+    ``QuantizedLayerBase._int8_xla_ok`` minus the call-time mode/flags,
+    which the model checks at the wiring site (models/vit.py).
+    """
+    from fp8_quantization_tpu.ops.quantizer import QMethod
+
+    return (cfg.int8_mxu and cfg.quantize_input and cfg.quant_a
+            and cfg.act_quant.method == QMethod.asymmetric_uniform
+            and not cfg.act_quant.per_channel
+            and cfg.act_quant.n_bits <= 8
+            and cfg.weight_quant.method == QMethod.symmetric_uniform
+            and cfg.weight_quant.n_bits <= 8)
 
 
 def _factored_act_ok(cfg: LayerQuantConfig) -> bool:
@@ -1122,10 +1141,22 @@ class QuantLinear(QuantizedLayerBase):
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False,
-                 out: str = "value"):
+                 out: str = "value", emit_s8=None):
+        if out == "in_state":
+            # PrequantS8 probe (models/vit.py): expose this layer's frozen
+            # input-quant scalars so its PRODUCER can run the s8 prologue
+            # inside its own epilogue fusion.  Reads/creates the same
+            # 'act_q' state the real call uses (per-tensor => shape-free);
+            # the dummy never reaches an estimator in fixed mode.  Pattern
+            # precedent: QuantizedActivation's out='fused_state'.
+            return self._int8_act_state(jnp.zeros((1, 8), jnp.float32), mode)
         if mode == "fp32":
             mode, quant_w, quant_a = "fixed", False, False
-        x, x_factor_in = factored.split(x)
+        pre_in = x if isinstance(x, PrequantS8) else None
+        if pre_in is not None:
+            x, x_factor_in = pre_in.xs8, None
+        else:
+            x, x_factor_in = factored.split(x)
         in_features = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (in_features, self.features), jnp.float32)
@@ -1142,15 +1173,26 @@ class QuantLinear(QuantizedLayerBase):
         # for the dense layer; 'always' autotune mode forces the Pallas
         # fused int8 matmul instead (research escape hatch).
         from fp8_quantization_tpu.ops.pallas import autotune as _at
-        if (self._int8_xla_ok(mode, train_bn, quant_w, quant_a, x_factor_in)
-                and _at.MODE != "always"):
+        use_int8 = (self._int8_xla_ok(mode, train_bn, quant_w, quant_a,
+                                      x_factor_in) and _at.MODE != "always")
+        if pre_in is not None and not use_int8:
+            # producer emitted s8 but this layer's int8 route is gated off
+            # (e.g. autotune MODE='always'): recover the real-valued input
+            x = factored.materialize(pre_in)
+        if use_int8:
             from fp8_quantization_tpu.ops.int8 import int8_matmul
-            if x_factor_in is not None:
-                x = x.astype(jnp.float32) * x_factor_in
+            if pre_in is not None:
+                # producer-side interchange: x IS the recentered s8 operand
+                # on THIS layer's input grid; prologue already done
+                a_delta, a_zero = pre_in.delta, pre_in.zero
+            else:
+                if x_factor_in is not None:
+                    x = x.astype(jnp.float32) * x_factor_in
+                a_delta, a_zero = self._int8_act_state(
+                    x.reshape(-1, in_features), mode)
             x2d = x.reshape(-1, in_features)
             wsg8, w_delta, signed = self._int8_weight_state(
                 kernel, self.features, mode)
-            a_delta, a_zero = self._int8_act_state(x2d, mode)
             scale, shift = self._fixed_scale_shift(
                 self.features, self.bn and folded_shift is None,
                 self.bn_eps, self.use_bias, folded_shift)
@@ -1159,8 +1201,13 @@ class QuantLinear(QuantizedLayerBase):
                               shift=shift,
                               act_fn=get_activation(self.activation),
                               out_bf16=self.config.conv_out_bf16,
-                              signed_static=self.config.int8_assume_signed)
-            return y2d.reshape(*x.shape[:-1], self.features)
+                              signed_static=self.config.int8_assume_signed,
+                              x_prequant=pre_in is not None,
+                              emit_s8=emit_s8)
+            y = y2d.reshape(*x.shape[:-1], self.features)
+            if emit_s8 is not None:
+                return PrequantS8(y, *emit_s8)
+            return y
 
         if (self._pallas_supported(mode, train_bn)
                 and self._pallas_wins(x.shape, self.features)):
@@ -1200,7 +1247,7 @@ class QuantLayerNorm(QuantizedLayerBase):
 
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
-                 quant_a: bool = True, out: str = "value", **_):
+                 quant_a: bool = True, out: str = "value", emit_s8=None, **_):
         if mode == "fp32":
             mode, quant_w, quant_a = "fixed", False, False
         # normalization is not scale-invariant in its shift: materialize
@@ -1215,6 +1262,13 @@ class QuantLayerNorm(QuantizedLayerBase):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * w + bias
+        if emit_s8 is not None:
+            # producer-side s8 interchange (PrequantS8): the consumer
+            # matmul's quant prologue runs HERE, inside the LN fusion that
+            # already holds y in registers — the interchange tensor is
+            # written once, as 1-byte s8 (models/vit.py int8 fast path)
+            from fp8_quantization_tpu.ops.int8 import prequant_s8
+            return PrequantS8(prequant_s8(y, *emit_s8), *emit_s8)
         return self._quant_out(y, mode, quant_a, out=out)
 
 

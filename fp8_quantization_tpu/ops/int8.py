@@ -44,6 +44,22 @@ def _act_int_params(a_delta, a_zero, a_bits: float):
     return delta, zp
 
 
+def prequant_s8(x: jax.Array, a_delta: jax.Array, a_zero: jax.Array,
+                a_bits: float) -> jax.Array:
+    """Producer-side quant prologue: x -> the recentered s8 grid.
+
+    Elementwise identical to the prologues inside int8_matmul/int8_conv
+    (shared ``_act_int_params``); run in the PRODUCER's epilogue fusion so
+    the consumer reads 1-byte s8 instead of re-reading a 2-byte bf16
+    interchange tensor through a standalone round/clip/cast pass (the
+    nn/factored.PrequantS8 protocol).
+    """
+    delta, zp = _act_int_params(a_delta, a_zero, float(a_bits))
+    xint = jnp.clip(jnp.round(x.astype(jnp.float32) / delta) + zp,
+                    0.0, 2.0 ** float(a_bits) - 1.0)
+    return (xint - 128.0).astype(jnp.int8)
+
+
 def int8_conv(x: jax.Array, wsg: jax.Array, w_delta: jax.Array,
               signed: jax.Array, a_delta: jax.Array, a_zero: jax.Array,
               a_bits: float,
@@ -151,8 +167,19 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
                 shift: Optional[jax.Array] = None,
                 act_fn: Optional[Callable] = None,
                 out_bf16: bool = False,
-                signed_static: bool = False) -> jax.Array:
+                signed_static: bool = False,
+                x_prequant: bool = False,
+                emit_s8: Optional[Tuple] = None) -> jax.Array:
     """(M, K) x (K, N) on the s8 MXU — the linear-layer twin of int8_conv.
+
+    ``x_prequant``: x2d is ALREADY the recentered s8 operand (int8, from a
+    producer-side ``prequant_s8`` epilogue); a_delta/a_zero still drive the
+    dequant epilogue, the prologue is skipped.
+
+    ``emit_s8``: (delta, zero, bits) of the NEXT consumer's act quantizer —
+    after act_fn, this layer's epilogue emits the recentered s8 operand for
+    the next int8 matmul instead of a real-valued tensor (overrides
+    ``out_bf16``; see nn/factored.PrequantS8).
 
     ``out_bf16`` stores the dequantized output in bfloat16 (2^-9 relative
     rounding, the ``conv_out_bf16`` deployment lever): the f32 interchange
@@ -166,8 +193,12 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
     """
     k = x2d.shape[-1]
     delta_x, zp = _act_int_params(a_delta, a_zero, float(a_bits))
-    xint = jnp.clip(jnp.round(x2d / delta_x) + zp, 0.0, 2.0 ** a_bits - 1.0)
-    xs8 = (xint - 128.0).astype(jnp.int8)
+    if x_prequant:
+        xs8 = x2d
+    else:
+        xint = jnp.clip(jnp.round(x2d / delta_x) + zp,
+                        0.0, 2.0 ** a_bits - 1.0)
+        xs8 = (xint - 128.0).astype(jnp.int8)
 
     acc = lax.dot_general(xs8, wsg, (((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
@@ -187,6 +218,9 @@ def int8_matmul(x2d: jax.Array, wsg: jax.Array, w_delta: jax.Array,
         y = y + shift
     if act_fn is not None:
         y = act_fn(y)
+    if emit_s8 is not None:
+        n_delta, n_zero, n_bits = emit_s8
+        return prequant_s8(y, n_delta, n_zero, n_bits)
     # a bf16->f32 round trip would still STORE f32 (the fusion output dtype
     # is what hits HBM) — return real bf16; consumers promote to f32 when
     # they combine it with f32 quantizer scalars
