@@ -145,6 +145,43 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8",
     return line
 
 
+def update_baseline_row(lines):
+    """Rewrite BASELINE.md's measured-throughput table cell from this run's
+    lines (VERDICT r4 item 7: the row went stale twice when hand-edited —
+    bench.py now owns it)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    by = {ln["metric"].split("_ptq")[0]: ln for ln in lines}
+    r18, i8 = by.get("resnet18_fp8"), by.get("resnet18_int8")
+    vit, mnv2 = by.get("vit_small_fp8"), by.get("mobilenet_v2_fp8")
+    if not all((r18, i8, vit, mnv2)):
+        return
+    cell = (f"ResNet-18 FP8 PTQ {r18['value']/1e3:.1f}k img/s / "
+            f"{100*r18['mfu']:.1f}% MFU on one TPU v5e (batch {r18['batch']}, "
+            f"s2d serving input); ResNet-18 INT8 {i8['value']/1e3:.1f}k "
+            f"({i8['vs_baseline']:.2f}x fp32), ViT-S/16 {vit['value']/1e3:.2f}k "
+            f"({vit['vs_baseline']:.2f}x), MNv2 FP8 "
+            f"{mnv2['value']/1e3:.1f}k ({mnv2['vs_baseline']:.2f}x — measured "
+            f"structural floor, RESULTS.md round 4); "
+            f"this row is auto-refreshed by bench.py")
+    try:
+        with open(path) as f:
+            text = f.read()
+        new = re.sub(
+            r"(\| Throughput \(no reference number — established here\) \| )"
+            r"[^|]*(\|)",
+            lambda m: m.group(1) + cell + " " + m.group(2), text, count=1)
+        if new != text:
+            with open(path, "w") as f:
+                f.write(new)
+            mark("BASELINE.md throughput row refreshed")
+    except OSError:
+        pass
+
+
 def main():
     from fp8_quantization_tpu.nn.config import make_layer_config
 
@@ -155,19 +192,23 @@ def main():
         deploy_cast_quant=True,   # bit-exact hardware-cast epilogues
         conv_out_bf16=True)       # bf16 conv stores into fused quant epilogues
 
+    lines = []
+
     # MobileNetV2 FP8, bf16 normalized stores — the best measured fp8
     # config for this model (round-3 sweep: act-f8 halves bytes but MNv2
     # is not bandwidth-bound and the f8 stores block epilogue fusion;
     # round-4 re-confirmed vs quantize_input placement and the no-select
     # ieee-subnorm rounding, both slower — RESULTS.md).  Batch 1024 is the
     # measured best point (24.1k vs 21.3k img/s at 256; round-4 sweep).
-    bench_model("mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
-                1024, make_layer_config(**fp8_kw))
+    lines.append(bench_model(
+        "mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
+        1024, make_layer_config(**fp8_kw)))
 
     # ViT-S/16 FP8, factored fast path through the transformer (round-3
     # verdict: naive attention beats flash at S=197; quant tax ~12%)
-    bench_model("vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
-                make_layer_config(**fp8_kw))
+    lines.append(bench_model(
+        "vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
+        make_layer_config(**fp8_kw)))
 
     # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights.
     # Round-4 levers (RESULTS.md): bf16 output stores + static signed-grid
@@ -175,23 +216,26 @@ def main():
     # at batch 512); batch 1024 reaches 27.9k img/s / 51.7% MFU — parity
     # with the fp8 headline.  The Pallas fused int8 kernels were raced at
     # model level and lose 4x (81.9 ms); this is the winning s8 route.
-    bench_model("resnet18_int8_ptq_throughput_per_chip", "resnet18", 1024,
-                make_layer_config(
-                    qmethod="symmetric_uniform",
-                    act_qmethod="asymmetric_uniform",
-                    per_channel_weights=True, quantize_input=True,
-                    weight_range_method="current_minmax",
-                    act_range_method="allminmax", engine="bf16",
-                    int8_mxu=True, conv_out_bf16=True,
-                    int8_assume_signed=True),
-                qscheme="int8")
+    lines.append(bench_model(
+        "resnet18_int8_ptq_throughput_per_chip", "resnet18", 1024,
+        make_layer_config(
+            qmethod="symmetric_uniform",
+            act_qmethod="asymmetric_uniform",
+            per_channel_weights=True, quantize_input=True,
+            weight_range_method="current_minmax",
+            act_range_method="allminmax", engine="bf16",
+            int8_mxu=True, conv_out_bf16=True,
+            int8_assume_signed=True),
+        qscheme="int8"))
 
     # headline LAST: ResNet-18 FP8 deployment (driver parses the last line;
     # metric name unchanged from round 2 for comparability).  Round-4
     # levers: batch 1024 + s2d serving input (measured 27.9k img/s /
     # 51.8% MFU vs 25.4k at batch-512 plain input).
-    bench_model("resnet18_fp8_ptq_throughput_per_chip", "resnet18", 1024,
-                make_layer_config(**fp8_kw), stem_s2d="input")
+    lines.append(bench_model(
+        "resnet18_fp8_ptq_throughput_per_chip", "resnet18", 1024,
+        make_layer_config(**fp8_kw), stem_s2d="input"))
+    update_baseline_row(lines)
 
 
 if __name__ == "__main__":

@@ -28,7 +28,9 @@ from fp8_quantization_tpu.nn.layers import (
     int8_interchange_ok)
 
 
-def _i8_fast(cfg: LayerQuantConfig, mode: str, quant_a: bool) -> bool:
+def _i8_fast(cfg: LayerQuantConfig, mode: str, quant_a: bool,
+             quant_w: bool = True, baked: bool = False,
+             train_bn: bool = False) -> bool:
     """Producer-side s8 interchange (nn/factored.PrequantS8) active?
 
     Fixed-mode deployment of the XLA s8 datapath only: each int8 matmul's
@@ -38,8 +40,18 @@ def _i8_fast(cfg: LayerQuantConfig, mode: str, quant_a: bool) -> bool:
     ViT-S/16 step (RESULTS.md round 4) that this protocol deletes.
     Calibration/training modes keep the consumer-side graph (estimators
     must see each layer's real-valued input).
+
+    Mirrors the call-time gates of QuantizedLayerBase._int8_xla_ok: the s8
+    route is only taken with quantized weights — live (``quant_w`` and the
+    config toggle) or pre-baked onto the integer grid (``baked``) — and
+    never under train_bn.  Computed ONCE at the model root (QuantizedViT)
+    and threaded down, so the stream layout and the per-layer routing can
+    never disagree (a quant_w=False ablation call previously still padded
+    and emitted s8 that every consumer had to materialize away).
     """
-    return mode == "fixed" and quant_a and int8_interchange_ok(cfg)
+    return (mode == "fixed" and not train_bn and quant_a
+            and (baked or (quant_w and cfg.quant_w))
+            and int8_interchange_ok(cfg))
 
 
 class QuantSelfAttention(nn.Module):
@@ -51,7 +63,7 @@ class QuantSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, probe=None, seq_len: int = 0, n_real: int = 0,
-                 **kw):
+                 i8: bool = False, **kw):
         d = self.dim
         qkv_layer = QuantLinear(features=3 * d, use_bias=True,
                                 config=self.config, name="qkv")
@@ -115,8 +127,7 @@ class QuantSelfAttention(nn.Module):
         y = y.reshape(b * n, d) if seq_len else y.reshape(b, n, d)
         proj = QuantLinear(features=d, use_bias=True, config=self.config,
                            name="proj")
-        if _i8_fast(self.config, kw.get("mode", "fixed"),
-                    kw.get("quant_a", True)):
+        if i8:
             # proj's prologue fuses into the attention-output transpose
             # materialization (which happens either way): write s8 once
             # instead of bf16 + a standalone consumer-side quant pass
@@ -136,7 +147,7 @@ class QuantEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mode: str = "fixed", quant_w: bool = True,
                  quant_a: bool = True, train_bn: bool = False,
-                 seq_len: int = 0, n_real: int = 0):
+                 seq_len: int = 0, n_real: int = 0, i8: bool = False):
         kw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a)
         # Fixed-mode fast interchange (nn/factored.py, matching
         # models/resnet.py): quant outputs whose consumer is a matmul — the
@@ -163,7 +174,7 @@ class QuantEncoderBlock(nn.Module):
         mlp2 = QuantLinear(features=self.dim, use_bias=True,
                            config=self.config, name="mlp2")
         ln1kw, ln2kw, mlp1kw = dict(fkw), dict(fkw), dict(fkw)
-        if _i8_fast(self.config, mode, quant_a):
+        if i8:
             # int8 producer-side interchange: probe each consumer matmul's
             # frozen input-quant scalars, then have its producer (the LN /
             # the gelu epilogue) emit the recentered s8 operand directly.
@@ -179,7 +190,7 @@ class QuantEncoderBlock(nn.Module):
             ln2kw = dict(kw, emit_s8=(m1d, m1z, bits))
             mlp1kw = dict(kw, emit_s8=(m2d, m2z, bits))
         y = QuantLayerNorm(config=self.config, name="ln1")(x, **ln1kw)
-        y = attn(y, seq_len=seq_len, n_real=n_real, **kw)
+        y = attn(y, seq_len=seq_len, n_real=n_real, i8=i8, **kw)
         x = fadd(x, y)
         x = QuantizedActivation(config=self.config, name="res1_act")(
             x, mode=mode, quant_a=quant_a,
@@ -247,11 +258,19 @@ class QuantizedViT(nn.Module):
         #     (_i8_fast is fixed-mode-only), so estimators see only real
         #     rows.
         n = gh * gw + 1
-        i8 = _i8_fast(self.config, mode, quant_a)
-        n_pad = (-n) % 16 if i8 else 0
+        # baked integer weights (nn/bake.bake_int8_weights) satisfy the
+        # quantized-weights gate even when the step runs quant_w=False —
+        # the root probes the collection once (patch_embed is always baked
+        # when any layer is)
+        baked = self.has_variable("baked_int8", "patch_embed")
+        i8 = _i8_fast(self.config, mode, quant_a, quant_w, baked, train_bn)
+        # engine='pallas' keeps the unpadded stream: sequence padding would
+        # mask the softmax keys, which disqualifies the flash_mha kernel
+        # (ADVICE r4) — off-tile boundary reshapes are the lesser cost
+        n_pad = (-n) % 16 if i8 and self.config.engine != "pallas" else 0
         seq = n + n_pad
         bkw = dict(mode=mode, quant_w=quant_w, quant_a=quant_a,
-                   train_bn=train_bn)
+                   train_bn=train_bn, i8=i8)
         if i8:
             if n_pad:
                 x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
@@ -273,7 +292,7 @@ class QuantizedViT(nn.Module):
         head_cfg = self.head_config or self.config
         head = QuantLinear(features=self.num_classes, use_bias=True,
                            config=head_cfg, name="head")
-        if _i8_fast(head_cfg, mode, quant_a):
+        if _i8_fast(head_cfg, mode, quant_a, quant_w, baked, train_bn):
             # tiny (B, D) tensor — prequant the cls slice so the head joins
             # the s8 interchange (slice commutes with the elementwise grid)
             from fp8_quantization_tpu.ops.int8 import prequant_s8

@@ -1149,6 +1149,16 @@ class QuantLinear(QuantizedLayerBase):
             # 'act_q' state the real call uses (per-tensor => shape-free);
             # the dummy never reaches an estimator in fixed mode.  Pattern
             # precedent: QuantizedActivation's out='fused_state'.
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("quant")):
+                # a mutable 'quant' collection means estimators are live
+                # (calibration): the dummy would overwrite range state with
+                # zeros.  Every legitimate probe site is fixed-mode-only
+                # (_i8_fast); fail loudly on misuse.
+                raise ValueError(
+                    "out='in_state' probed while the 'quant' collection is "
+                    "mutable — the PrequantS8 probe is a fixed-mode "
+                    "(frozen-estimator) protocol")
             return self._int8_act_state(jnp.zeros((1, 8), jnp.float32), mode)
         if mode == "fp32":
             mode, quant_w, quant_a = "fixed", False, False

@@ -1,12 +1,20 @@
+#!/usr/bin/env python
 """Is XLA's native int8 conv the right s8 datapath on this chip?
 
-Compares, at ResNet-18 hot shapes (batch 512):
+Compares, at ResNet-18 hot shapes:
   a) bf16 conv + relu (the unquantized baseline op)
   b) XLA int8 conv: quantize act to s8 (asym, shifted grid), conv
      s8 x s8 -> s32, dequant + relu epilogue (all XLA, fully fusable)
   c) the current pallas fused int8 conv kernel (probe-chosen group)
+
+Usage: python tools/probe_int8_conv_shapes.py [--batch 512]
 """
+import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -15,8 +23,9 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/fp8tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-SHAPES = [(512, 56, 64, 64), (512, 28, 128, 128),
-          (512, 14, 256, 256), (512, 7, 512, 512)]
+def shapes(batch):
+    return [(batch, 56, 64, 64), (batch, 28, 128, 128),
+            (batch, 14, 256, 256), (batch, 7, 512, 512)]
 
 
 def timeit(fn, xs, iters=6, reps=3):
@@ -37,7 +46,11 @@ def main():
     from fp8_quantization_tpu.ops.pallas.qmatmul import int8_shifted_grid
     import fp8_quantization_tpu.ops.pallas.autotune as at
 
-    for (n, h, cin, cout) in SHAPES:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    args = ap.parse_args()
+
+    for (n, h, cin, cout) in shapes(args.batch):
         rng = np.random.RandomState(0)
         xs = [jnp.asarray(rng.normal(0, 1, (n, h, h, cin)), jnp.float32)
               for _ in range(2)]
