@@ -68,7 +68,7 @@ def _bench_pair_args(fn_a, args_a, fn_b, args_b, iters=10, warmup=3,
 
 
 def bench_model(metric, arch, batch, config, *, qscheme="fp8",
-                stem_s2d=False):
+                stem_s2d=False, quant_setup=None):
     """Calibrate -> bake -> time quantized vs fp32 forward; emit one line.
 
     ``stem_s2d='input'`` (ResNet): the QUANTIZED side consumes pre-s2d
@@ -85,9 +85,10 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8",
     ctor = {"resnet18": resnet18_quantized,
             "mobilenet_v2": mobilenetv2_quantized,
             "vit_small": vit_small_quantized}[arch]
-    model = ctor(config, num_classes=1000)
+    model = ctor(config, num_classes=1000, quant_setup=quant_setup)
     # stem_s2d is apply-time only: calibration/bake state is shared
-    q_model = (ctor(config, num_classes=1000, stem_s2d=stem_s2d)
+    q_model = (ctor(config, num_classes=1000, stem_s2d=stem_s2d,
+                    quant_setup=quant_setup)
                if stem_s2d else model)
 
     key = jax.random.PRNGKey(0)
@@ -141,6 +142,8 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8",
         "fp32_img_per_s": round(batch / t_fp32, 1),
         "batch": batch,
     }
+    if quant_setup:
+        line["quant_setup"] = quant_setup
     print(json.dumps(line), flush=True)
     return line
 
@@ -164,8 +167,8 @@ def update_baseline_row(lines):
             f"s2d serving input); ResNet-18 INT8 {i8['value']/1e3:.1f}k "
             f"({i8['vs_baseline']:.2f}x fp32), ViT-S/16 {vit['value']/1e3:.2f}k "
             f"({vit['vs_baseline']:.2f}x), MNv2 FP8 "
-            f"{mnv2['value']/1e3:.1f}k ({mnv2['vs_baseline']:.2f}x — measured "
-            f"structural floor, RESULTS.md round 4); "
+            f"{mnv2['value']/1e3:.1f}k ({mnv2['vs_baseline']:.2f}x, "
+            f"{mnv2.get('quant_setup', 'all')} preset); "
             f"this row is auto-refreshed by bench.py")
     try:
         with open(path) as f:
@@ -194,21 +197,31 @@ def main():
 
     lines = []
 
-    # MobileNetV2 FP8, bf16 normalized stores — the best measured fp8
-    # config for this model (round-3 sweep: act-f8 halves bytes but MNv2
-    # is not bandwidth-bound and the f8 stores block epilogue fusion;
-    # round-4 re-confirmed vs quantize_input placement and the no-select
-    # ieee-subnorm rounding, both slower — RESULTS.md).  Batch 1024 is the
-    # measured best point (24.1k vs 21.3k img/s at 256; round-4 sweep).
+    # MobileNetV2 FP8, dw_bf16_acts deployment preset (round 5): weights
+    # quantized everywhere, activations quantized everywhere except the
+    # VPU-bound expand->dw chain — the round-4 per-fusion table proved
+    # those fake-quant epilogues are a structural ~1.4x tax on a bf16-MXU
+    # chip (dw+project at 29-46% of SOL; the expand quant select breaks
+    # fp32's expand->dw nesting).  Raced round 5 (tools/race_mnv2_mixed.py):
+    # all-quantized 24.1k (0.70x), dw-acts-only-off 27.7k (0.80x), preset
+    # 36.2k (1.03x), dw-fully-unquantized 27.3k (0.79x).  Accuracy delta
+    # of the exact preset pinned by tests/test_ptq_accuracy_delta.py.
     lines.append(bench_model(
         "mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
-        1024, make_layer_config(**fp8_kw)))
+        1024, make_layer_config(**fp8_kw), quant_setup="dw_bf16_acts"))
 
-    # ViT-S/16 FP8, factored fast path through the transformer (round-3
-    # verdict: naive attention beats flash at S=197; quant tax ~12%)
+    # ViT-S/16 FP8, factored fast path through the transformer.  Batch 128
+    # is the absolute-throughput peak (device-time parity with fp32:
+    # RESULTS.md round 5 — fusion time is LOWER, the 1% wall gap is the
+    # res-act quant epilogues); batch 256 is the measured >=1.0x serving
+    # point (fp32 degrades more under the larger attention footprint while
+    # fp8 reads fewer interchange bytes — 1.03x, round-5 sweep).  Both are
+    # recorded; int8 (0.86x) and ieee-cast (0.63x) lost their races.
     lines.append(bench_model(
         "vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
         make_layer_config(**fp8_kw)))
+    bench_model("vit_small_fp8_ptq_b256_throughput_per_chip", "vit_small",
+                256, make_layer_config(**fp8_kw))
 
     # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights.
     # Round-4 levers (RESULTS.md): bf16 output stores + static signed-grid

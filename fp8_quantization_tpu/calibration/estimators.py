@@ -181,7 +181,15 @@ def _mse_update(spec: EstimatorSpec, qspec: QuantizerSpec, state: EstState,
                 scale_domain=qspec.scale_domain, eps=qspec.eps)
         return jnp.mean((x_cn - xq) ** 2, axis=-1)                  # (C,)
 
-    per_mbits = [jax.vmap(mse_for_candidate, in_axes=(0, None))(search_grid, m)
+    # Chunked sweep (round 5): a full vmap materializes all 111 candidate
+    # quantizations of x at once — x111 (xM settings) of the activation
+    # tensor, 137 GB for a batch-64 ResNet stem act on real inputs.
+    # lax.map with a size-adaptive chunk keeps peak memory at a few copies
+    # of x while computing the identical per-candidate values (the
+    # line-search estimator below uses the same pattern).
+    chunk = max(1, min(16, int(2e8) // max(1, x_cn.size)))
+    per_mbits = [jax.lax.map(lambda mv, _m=m: mse_for_candidate(mv, _m),
+                             search_grid, batch_size=chunk)
                  for m in mbits_list]
     batch_mses = jnp.stack(per_mbits)                               # (M,111,C)
     mses = state["mses"] + batch_mses

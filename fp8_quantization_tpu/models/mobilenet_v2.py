@@ -46,6 +46,7 @@ class QuantInvertedResidual(nn.Module):
     expand_ratio: int
     config: LayerQuantConfig
     dw_config: Optional[LayerQuantConfig] = None
+    expand_config: Optional[LayerQuantConfig] = None
     block_act_config: Optional[LayerQuantConfig] = None
 
     @nn.compact
@@ -63,7 +64,7 @@ class QuantInvertedResidual(nn.Module):
             expand_mod = QuantConv(
                 features=hidden, kernel_size=(1, 1), strides=(1, 1),
                 padding=((0, 0), (0, 0)), bn=True, activation="relu6",
-                config=self.config, name="expand")
+                config=self.expand_config or self.config, name="expand")
         dw_mod = QuantConv(
             features=hidden, kernel_size=(3, 3), strides=self.strides,
             padding=((1, 1), (1, 1)), feature_group_count=hidden,
@@ -199,6 +200,7 @@ class QuantizedMobileNetV2(nn.Module):
     head_config: Optional[LayerQuantConfig] = None       # final 1x1 conv
     fc_config: Optional[LayerQuantConfig] = None         # classifier linear
     dw_config: Optional[LayerQuantConfig] = None         # depthwise convs
+    expand_config: Optional[LayerQuantConfig] = None     # pw-expand convs
     block_act_config: Optional[LayerQuantConfig] = None  # residual-add quant
     tie_avgpool: bool = True
     # classifier dropout (reference mobilenet_v2.py:69,107 — nn.Dropout
@@ -223,6 +225,9 @@ class QuantizedMobileNetV2(nn.Module):
             if (top.startswith("block") and len(path) > 1
                     and path[1] == "dw"):
                 return (self.dw_config or self.config).weight_quant
+            if (top.startswith("block") and len(path) > 1
+                    and path[1] == "expand"):
+                return (self.expand_config or self.config).weight_quant
             return self.config.weight_quant
 
         return fn
@@ -250,6 +255,7 @@ class QuantizedMobileNetV2(nn.Module):
                 x = QuantInvertedResidual(
                     features=out_c, strides=strides, expand_ratio=t, config=cfg,
                     dw_config=self.dw_config,
+                    expand_config=self.expand_config,
                     block_act_config=self.block_act_config,
                     name=f"block{i}_{b}")(x, **kw)
 
@@ -306,6 +312,19 @@ def mobilenet_v2_configs(base: LayerQuantConfig, quant_setup: Optional[str]):
         cfgs["stem_config"] = base.with_weight_bits(8)
         cfgs["fc_config"] = base.with_weight_bits(4)
         cfgs["dw_config"] = base.with_weight_bits(8)
+        return cfgs
+    if setup == "dw_bf16_acts":
+        # TPU deployment preset (round 5, RESULTS.md): weights quantized
+        # everywhere, activations quantized everywhere EXCEPT the
+        # VPU-bound expand->dw chain, whose fake-quant epilogues are the
+        # measured structural tax on a bf16-MXU chip (the quant select in
+        # the expand epilogue breaks fp32-style expand->dw fusion nesting;
+        # dropping both lifted MNv2 from 0.70x to 1.03x of fp32 at batch
+        # 1024).  Reference precedent for per-layer-class act overrides:
+        # LSQ_paper's fp32 block_act / FP_logits
+        # (mobilenet_v2_quantized.py:45-85).
+        cfgs["expand_config"] = base.fp32_acts()
+        cfgs["dw_config"] = base.fp32_acts()
         return cfgs
     if setup == "LSQ":
         cfgs["stem_config"] = base.with_weight_bits(8)

@@ -80,3 +80,44 @@ def test_compiler_params_limits():
     assert PROBE_VMEM_LIMIT_BYTES <= 0.9 * VMEM_LIMIT_BYTES
     # and both must fit a v5e core's 128 MiB physical VMEM
     assert VMEM_LIMIT_BYTES <= 128 * 1024 * 1024
+
+
+def test_committed_seed_answers_gates_without_measuring(tmp_path, monkeypatch):
+    """VERDICT r3 item 5 / r4 item 3: a fresh checkout (cold /tmp cache)
+    must reproduce the measured v5e gate verdicts from the committed seed
+    with ZERO on-chip races.  Uses the committed v5_<kind>.json for
+    whatever kind(s) have been harvested (tools/harvest_autotune_seed.py);
+    skips only if none is committed yet."""
+    import glob
+    import os
+
+    seeds = sorted(glob.glob(os.path.join(
+        os.path.dirname(at.__file__), "autotune_seed", "v5_*.json")))
+    if not seeds:
+        pytest.skip("no committed autotune seed yet (run "
+                    "tools/harvest_autotune_seed.py on a TPU session)")
+    seed = seeds[0]
+    with open(seed) as f:
+        entries = json.load(f)
+    assert entries, f"{seed} is empty"
+
+    # cold live cache; seed path pinned to the committed file
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "live.json"))
+    monkeypatch.setattr(at, "_CACHE", {})
+    monkeypatch.setattr(at, "_DISK_LOADED", False)
+    monkeypatch.setattr(at, "_seed_path", lambda: seed)
+    # any attempt to measure is a test failure: the seed must answer
+    for fname in ("_measure", "_resolve_conv3_group", "_resolve_int8_group",
+                  "_resolve_dw_group", "_resolve_stem_group", "_resolve_attn",
+                  "_resolve_ir_group"):
+        if hasattr(at, fname):
+            monkeypatch.setattr(
+                at, fname,
+                lambda *a, _f=fname, **k: pytest.fail(
+                    f"{_f} re-raced despite the committed seed"))
+    at._load_disk_cache()
+    assert len(at._CACHE) == len(entries)
+    # every cached verdict is served for its own key form (matmul bools /
+    # tagged group ints) — exercise via the public decisions() view
+    for key, val in list(at._CACHE.items())[:50]:
+        assert at.decisions()[key] == val

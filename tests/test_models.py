@@ -104,8 +104,8 @@ def test_resnet_quant_setups(setup):
     assert y.shape == (1, 5)
 
 
-@pytest.mark.parametrize("setup", ["all", "FP_logits", "fc4", "fc4_dw8", "LSQ",
-                                   "LSQ_paper"])
+@pytest.mark.parametrize("setup", ["all", "FP_logits", "fc4", "fc4_dw8",
+                                   "dw_bf16_acts", "LSQ", "LSQ_paper"])
 def test_mobilenet_quant_setups(setup):
     model = mobilenetv2_quantized(BASE_FP8, quant_setup=setup, num_classes=5,
                                   settings=SMALL_MBV2)
@@ -249,3 +249,39 @@ def test_mse_weight_range_method_on_model():
     assert bool(stem_q["initialized"])
     mb = float(stem_q["mantissa_bits"])
     assert 1.0 <= mb <= 6.0
+
+
+def test_mobilenet_dw_bf16_acts_preset_accuracy_dominates_all():
+    """The dw_bf16_acts deployment preset (round 5 bench row: expand/dw
+    ACTIVATION quantizers off, weights W8 everywhere) quantizes a strict
+    subset of the 'all' preset's tensors, so its deployed logits must sit
+    at least as close to fp32 as the all-quantized config's (up to noise:
+    different quantizer sets shift intermediate rounding)."""
+    from fp8_quantization_tpu.calibration.calibrate import calibrate
+
+    x = _rand_images(2, 32)
+    logits = {}
+    base_vars = None
+    for setup in (None, "dw_bf16_acts"):
+        model = mobilenetv2_quantized(BASE_FP8, quant_setup=setup,
+                                      num_classes=5, settings=SMALL_MBV2)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        if base_vars is None:
+            base_vars = variables
+        else:   # same params: the presets differ only in quantizer wiring
+            variables = {**variables, "params": base_vars["params"],
+                         "batch_stats": base_vars["batch_stats"]}
+        variables = calibrate(model, variables, [x])
+        name = setup or "all"
+        logits[name] = np.asarray(
+            japply(model, variables, x, mode="fixed"), np.float32)
+        logits[f"{name}_fp32"] = np.asarray(
+            japply(model, variables, x, mode="fixed", quant_w=False,
+                   quant_a=False), np.float32)
+
+    np.testing.assert_array_equal(logits["all_fp32"],
+                                  logits["dw_bf16_acts_fp32"])
+    err_all = np.abs(logits["all"] - logits["all_fp32"]).max()
+    err_preset = np.abs(logits["dw_bf16_acts"]
+                        - logits["dw_bf16_acts_fp32"]).max()
+    assert err_preset <= err_all * 1.5 + 1e-5, (err_preset, err_all)

@@ -71,7 +71,10 @@ def build(batch, scheme):
             act_range_method="allminmax", engine="bf16",
             deploy_cast_quant=True, conv_out_bf16=True,
             # 'fp8f8': IEEE-f8 interchange storage — res-chain bytes halve
-            deploy_act_f8=scheme == "fp8f8")
+            deploy_act_f8=scheme == "fp8f8",
+            # 'fp8ie': ieee-subnorm cast (no fixup select in the quant
+            # epilogues; round-4 MNv2 forensics)
+            deploy_cast_ieee=scheme == "fp8ie")
     else:  # int8 s8 datapath (bench.py resnet18 int8 row's config)
         cfg = make_layer_config(
             qmethod="symmetric_uniform", act_qmethod="asymmetric_uniform",
