@@ -517,6 +517,14 @@ def train_quantized(**kw):
     (SURVEY.md §3.4: qat_utils + optimizer_utils + supervised_driver).
     """
     model, config, variables, train_data, val_data, mesh = _setup(kw)
+    if train_data is None:
+        # make_dataloaders returns None for a val-only ImageFolder tree;
+        # QAT needs labelled training batches (the reference's train split,
+        # imagenet_dataloaders.py:89-99) — fail with the fix, not a
+        # NoneType iteration deep in the calibration loop
+        raise click.UsageError(
+            f"--images-dir {kw['images_dir']} has no train/ split; "
+            "train-quantized needs one (validate-quantized works val-only)")
 
     from fp8_quantization_tpu.calibration.calibrate import calibrate, evaluate
     from fp8_quantization_tpu.training import (

@@ -99,8 +99,10 @@ def test_baseline_configs_on_real_imagenet():
             assert results[label]["delta_top_1"] > -0.05, results[label]
 
     # config #5: MobileNetV2 FP8 QAT — one short fine-tune epoch proves the
-    # path on real data; full-schedule numbers are a training run, not CI
-    if scan["checkpoints"].get("mobilenet_v2"):
+    # path on real data; full-schedule numbers are a training run, not CI.
+    # Needs the train/ split (val-only mounts cover only the PTQ configs).
+    has_train = os.path.isdir(os.path.join(scan["imagenet_root"], "train"))
+    if scan["checkpoints"].get("mobilenet_v2") and has_train:
         # train-quantized has no --max-eval-batches; drop it from common
         tcommon = [a for i, a in enumerate(common)
                    if a != "--max-eval-batches"
@@ -118,7 +120,11 @@ def test_baseline_configs_on_real_imagenet():
         results["mobilenet_v2_fp8_qat_1epoch"] = {
             "top_1": qat["top_1_accuracy"]}
 
-    out = REPO / "RESULTS_IMAGENET.json"
+    # chance-mode rehearsals (synthetic assets) write to /tmp; only real
+    # runs leave the committed deliverable at the repo root
+    out = (pathlib.Path("/tmp/RESULTS_IMAGENET_rehearsal.json")
+           if os.environ.get("FP8TPU_E2E_ALLOW_CHANCE")
+           else REPO / "RESULTS_IMAGENET.json")
     out.write_text(json.dumps(
         {"imagenet_root": scan["imagenet_root"],
          "checkpoints": scan["checkpoints"],
