@@ -73,10 +73,14 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             "resnet18": resnet18_quantized,
             "resnet50": resnet50_quantized}[arch]
     # stem_s2d is apply-time only (exact transform, identical variables), so
-    # the calibrate/bake cache below is shared with the non-s2d variants
+    # the calibrate/bake cache below is shared with the non-s2d variants —
+    # and the cache is always POPULATED by the plain-input twin (an s2d
+    # model cannot init/calibrate on 3-channel images; previously this only
+    # worked when a non-s2d variant happened to build first)
     extra = ({"stem_s2d": stem_s2d} if stem_s2d and "resnet" in arch
              else {})
     model = ctor(config, num_classes=1000, **extra)
+    setup_model = ctor(config, num_classes=1000) if extra else model
     if "x" not in _SETUP_CACHE:
         # generated ON DEVICE: the axon tunnel uploads ~2 MB/s, a batch-256
         # fp32 input is 154 MB — host-side RandomState would eat the window
@@ -94,10 +98,10 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
     if fmt not in _SETUP_CACHE:
         # jitted: eager init is per-op LATENCY-bound over the axon tunnel
         # (hundreds of dispatches -> minutes for MobileNetV2)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:8])
+        variables = jax.jit(setup_model.init)(jax.random.PRNGKey(0), x[:8])
         jax.block_until_ready(variables)
         _mark("init done")
-        variables = calibrate(model, variables, [x[:8]])
+        variables = calibrate(setup_model, variables, [x[:8]])
         jax.block_until_ready(variables["quant"])
         _mark("calibrate done")
         if qscheme == "int8":
@@ -106,7 +110,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             # pos_embed is input-size-bound, the bake forward must match.
             from fp8_quantization_tpu.nn.bake import bake_int8_weights_host
             _SETUP_CACHE[fmt] = bake_int8_weights_host(
-                model, variables,
+                setup_model, variables,
                 example_shape=((1, 224, 224, 3) if arch == "vit_small"
                                else (1, 64, 64, 3)))
         else:
@@ -116,7 +120,7 @@ def build(engine: str, conv_out_bf16: bool, batch: int, cast_quant=False,
             shape = ((1, 224, 224, 3) if arch == "vit_small"
                      else (1, 64, 64, 3))
             _SETUP_CACHE[fmt] = prepare_for_deployment_host(
-                model, variables, example_shape=shape)
+                setup_model, variables, example_shape=shape)
         _mark("bake/prepare done")
     return model, _SETUP_CACHE[fmt], x
 

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--arch", default="mobilenet_v2")
     ap.add_argument("--topo", default="v5e:2x2",
                     help="AOT topology; only device 0 is used")
+    ap.add_argument("--input-bf16", action="store_true",
+                    help="bf16 serving input (match bench_profile runs)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -53,13 +55,24 @@ def main():
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
             tree)
 
-    for name, engine, conv_bf16, quant_a, cast, act_f8 in [
-        ("fp32_bf16ops", "bf16", False, False, False, False),
-        ("fp8_cast_convbf16", "bf16", True, True, True, False),
-        ("fp8_cast_convbf16_actf8", "bf16", True, True, True, True),
+    for name, engine, conv_bf16, quant_a, cast, act_f8, s2d in [
+        ("fp32_bf16ops", "bf16", False, False, False, False, False),
+        ("fp8_cast_convbf16", "bf16", True, True, True, False, False),
+        ("fp8_cast_convbf16_actf8", "bf16", True, True, True, True, False),
+        # the b1024 bench headline (ResNet only): pre-s2d serving input
+        ("fp8_cast_convbf16_s2dinput", "bf16", True, True, True, False,
+         "input"),
+        ("fp32_s2dinput", "bf16", False, False, False, False, "input"),
     ]:
+        if s2d and "resnet" not in args.arch:
+            continue
         model, variables, x = build(engine, conv_bf16, args.batch, cast,
-                                    args.arch, act_f8)
+                                    args.arch, act_f8, stem_s2d=s2d)
+        if s2d == "input":
+            from fp8_quantization_tpu.ops.s2d import space_to_depth
+            x = jax.jit(space_to_depth)(x)
+        if args.input_bf16:
+            x = x.astype(jnp.bfloat16)   # match bench_profile --input-bf16
         fn = jax.jit(lambda v, xx: model.apply(
             v, xx, mode="fixed", quant_w=False, quant_a=quant_a),
             in_shardings=(rep, rep), out_shardings=rep)

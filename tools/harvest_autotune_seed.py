@@ -103,12 +103,9 @@ def main():
     from fp8_quantization_tpu.ops.pallas import autotune as at
 
     for arch in args.archs:
-        for batch in args.batches:
-            if arch == "vit_small" and batch > 256:
-                continue   # ViT operates at 128; S*B logits explode beyond
+        batches = [128] if arch == "vit_small" else args.batches
+        for batch in batches:   # ViT operates at 128 (S*B logits explode)
             trace_model(arch, batch, "fp8")
-        # the int8 pallas gates (conv3_int8/ig) fire under MODE='always'
-        # research runs; seed them at the primary batch only
     dst = at.export_seed()
     with open(dst) as f:
         n = len(json.load(f))
