@@ -105,7 +105,12 @@ def main():
     for arch in args.archs:
         batches = [128] if arch == "vit_small" else args.batches
         for batch in batches:   # ViT operates at 128 (S*B logits explode)
-            trace_model(arch, batch, "fp8")
+            try:
+                trace_model(arch, batch, "fp8")
+            except Exception as e:   # noqa: BLE001 — one OOM'ing probe
+                # must not discard the verdicts already raced into /tmp
+                mark(f"{arch} b{batch}: trace failed ({type(e).__name__}); "
+                     f"verdicts measured so far are kept")
     dst = at.export_seed()
     with open(dst) as f:
         n = len(json.load(f))
