@@ -36,7 +36,8 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 197e12
 # fwd pass, 224x224, multiply-accumulate counted as 2 flops (MAC counts
 # audited via tools/roofline.py HLO sums: resnet18 = 1.824 GMACs).
-MODEL_GFLOP = {"resnet18": 3.648, "mobilenet_v2": 0.628, "vit_small": 9.2}
+MODEL_GFLOP = {"resnet18": 3.648, "resnet50": 8.21, "mobilenet_v2": 0.628,
+               "vit_small": 9.2}
 
 T0 = time.perf_counter()
 
@@ -80,9 +81,11 @@ def bench_model(metric, arch, batch, config, *, qscheme="fp8",
     from fp8_quantization_tpu.calibration.calibrate import calibrate
     from fp8_quantization_tpu.models import (mobilenetv2_quantized,
                                              resnet18_quantized,
+                                             resnet50_quantized,
                                              vit_small_quantized)
 
     ctor = {"resnet18": resnet18_quantized,
+            "resnet50": resnet50_quantized,
             "mobilenet_v2": mobilenetv2_quantized,
             "vit_small": vit_small_quantized}[arch]
     model = ctor(config, num_classes=1000, quant_setup=quant_setup)
@@ -160,12 +163,17 @@ def update_baseline_row(lines):
     by = {ln["metric"].split("_ptq")[0]: ln for ln in lines}
     r18, i8 = by.get("resnet18_fp8"), by.get("resnet18_int8")
     vit, mnv2 = by.get("vit_small_fp8"), by.get("mobilenet_v2_fp8")
+    r50 = by.get("resnet50_fp8")
     if not all((r18, i8, vit, mnv2)):
         return
+    r50_part = (f"ResNet-50 FP8 {r50['value']/1e3:.2f}k "
+                f"({r50['vs_baseline']:.2f}x, act-f8 storage), "
+                if r50 else "")
     cell = (f"ResNet-18 FP8 PTQ {r18['value']/1e3:.1f}k img/s / "
             f"{100*r18['mfu']:.1f}% MFU on one TPU v5e (batch {r18['batch']}, "
             f"s2d serving input); ResNet-18 INT8 {i8['value']/1e3:.1f}k "
-            f"({i8['vs_baseline']:.2f}x fp32), ViT-S/16 {vit['value']/1e3:.2f}k "
+            f"({i8['vs_baseline']:.2f}x fp32), {r50_part}"
+            f"ViT-S/16 {vit['value']/1e3:.2f}k "
             f"({vit['vs_baseline']:.2f}x), MNv2 FP8 "
             f"{mnv2['value']/1e3:.1f}k ({mnv2['vs_baseline']:.2f}x, "
             f"{mnv2.get('quant_setup', 'all')} preset); "
@@ -214,14 +222,20 @@ def main():
     # is the absolute-throughput peak (device-time parity with fp32:
     # RESULTS.md round 5 — fusion time is LOWER, the 1% wall gap is the
     # res-act quant epilogues); batch 256 is the measured >=1.0x serving
-    # point (fp32 degrades more under the larger attention footprint while
-    # fp8 reads fewer interchange bytes — 1.03x, round-5 sweep).  Both are
-    # recorded; int8 (0.86x) and ieee-cast (0.63x) lost their races.
+    # point (1.03x, round-5 sweep — fp32 degrades more under the larger
+    # attention footprint while fp8 reads fewer interchange bytes).  int8
+    # (0.86x) and ieee-cast (0.63x) lost their races.
     lines.append(bench_model(
         "vit_small_fp8_ptq_throughput_per_chip", "vit_small", 128,
         make_layer_config(**fp8_kw)))
-    bench_model("vit_small_fp8_ptq_b256_throughput_per_chip", "vit_small",
-                256, make_layer_config(**fp8_kw))
+
+    # ResNet-50 FP8 with IEEE-f8 interchange STORAGE (deploy_act_f8): the
+    # flag that loses on VPU-bound models wins on this HBM-bound one —
+    # step bytes collapse 44 -> 14 GB and fp8 runs 1.18x faster than fp32
+    # (8.6k vs 7.3k img/s at batch 512; round-5 race, RESULTS.md).
+    lines.append(bench_model(
+        "resnet50_fp8_ptq_throughput_per_chip", "resnet50", 512,
+        make_layer_config(**dict(fp8_kw, deploy_act_f8=True))))
 
     # ResNet-18 INT8 on the XLA-native s8 MXU datapath, baked int weights.
     # Round-4 levers (RESULTS.md): bf16 output stores + static signed-grid
