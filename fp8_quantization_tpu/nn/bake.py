@@ -24,9 +24,33 @@ calibrating or re-baking on baked weights is also a no-op.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict
 
 import jax
+
+
+@contextlib.contextmanager
+def _pallas_gates_off():
+    """Route the host-side transform forwards through plain XLA.
+
+    The *_host transforms run tiny eager forwards on the CPU backend just
+    to sow quantizer/BN scalar state ('qprep'/'baked'/'baked_int8' — all
+    engine-independent values).  Under engine='pallas' those forwards
+    would otherwise execute the fused kernels in interpret mode — the
+    flash-attention interpreter alone hangs a ViT-S prepare for many
+    minutes (round-5 finding) — and, worse, consult the autotune gates.
+    Forcing MODE='never' for the transform keeps the sown state identical
+    and the transform fast; deployment forwards on the real device still
+    use the gated kernels."""
+    from fp8_quantization_tpu.ops.pallas import autotune as at
+
+    prev = at.MODE
+    at.MODE = "never"
+    try:
+        yield
+    finally:
+        at.MODE = prev
 
 
 def bake_weights(model, variables: Dict[str, Any], example_input, *,
@@ -166,7 +190,7 @@ def bake_int8_weights_host(model, variables: Dict[str, Any],
     cpu = jax.devices("cpu")[0]
     host_vars = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
                              jax.device_get(variables))
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), _pallas_gates_off():
         host_vars = bake_int8_weights(
             model, host_vars, np.zeros(example_shape, np.float32))
     return jax.tree.map(lambda a: jax.device_put(a, target), host_vars)
@@ -232,7 +256,7 @@ def prepare_for_deployment_host(model, variables: Dict[str, Any],
     cpu = jax.devices("cpu")[0]
     host_vars = jax.tree.map(lambda a: jax.device_put(np.asarray(a), cpu),
                              jax.device_get(variables))
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), _pallas_gates_off():
         host_vars = prepare_for_deployment(
             model, host_vars, np.zeros(example_shape, np.float32),
             bn_eps=bn_eps, quant_a=quant_a)

@@ -765,6 +765,14 @@ def attn_wins(b: int, h: int, s: int, d: int) -> bool:
 
 
 def _resolve_attn(b: int, h: int, s: int, d: int) -> int:
+    # CAVEAT (round 5, RESULTS.md): this isolated race is structurally
+    # unrepresentative for attention on v5e — at ViT-S/16 b128 shapes the
+    # probe says FLASH (>25% margin) yet the end-to-end pallas-engine model
+    # runs 2.3x SLOWER than the naive chain (66.2 vs 28.5 ms): in-model,
+    # flash's operand-layout requirements materialize head transposes the
+    # probe's standalone operands never pay.  The committed seed overrides
+    # this shape to XLA with the model-level verdict; treat fresh probe
+    # wins at NEW attention shapes as provisional until raced end-to-end.
     try:
         fused, composed, xs = _attn_fns(b, h, s, d)
         t_fused = _time_fn(fused, xs)

@@ -68,7 +68,9 @@ def build(batch, scheme):
             qmethod="fp_quantizer", per_channel_weights=True,
             fp8_mantissa_bits=4, fp8_set_maxval=True,
             weight_range_method="current_minmax",
-            act_range_method="allminmax", engine="bf16",
+            act_range_method="allminmax",
+            # 'fp8pl': pallas engine (flash attention where its gate wins)
+            engine="pallas" if scheme == "fp8pl" else "bf16",
             deploy_cast_quant=True, conv_out_bf16=True,
             # 'fp8f8': IEEE-f8 interchange storage — res-chain bytes halve
             deploy_act_f8=scheme == "fp8f8",
