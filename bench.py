@@ -212,11 +212,12 @@ def main():
     # chip (dw+project at 29-46% of SOL; the expand quant select breaks
     # fp32's expand->dw nesting).  Raced round 5 (tools/race_mnv2_mixed.py):
     # all-quantized 24.1k (0.70x), dw-acts-only-off 27.7k (0.80x), preset
-    # 36.2k (1.03x), dw-fully-unquantized 27.3k (0.79x).  Accuracy delta
-    # of the exact preset pinned by tests/test_ptq_accuracy_delta.py.
+    # 36.2k at b1024 (1.03x) and 36.9k at b2048 (1.07x — unlike ResNet-18,
+    # MNv2's smaller activations keep scaling), dw-fully-unquantized 27.3k
+    # (0.79x).  Preset accuracy pinned by tests/test_models.py.
     lines.append(bench_model(
         "mobilenet_v2_fp8_ptq_throughput_per_chip", "mobilenet_v2",
-        1024, make_layer_config(**fp8_kw), quant_setup="dw_bf16_acts"))
+        2048, make_layer_config(**fp8_kw), quant_setup="dw_bf16_acts"))
 
     # ViT-S/16 FP8, factored fast path through the transformer.  Batch 128
     # is the absolute-throughput peak (device-time parity with fp32:
