@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Throughput benchmark of the deployed quantized models, images/sec/chip.
 
-Emits ONE JSON line per benchmark config — MobileNetV2 FP8 (bf16 conv
-stores), ViT-S/16 FP8 (factored transformer path), ResNet-18 INT8
-(XLA-native s8 MXU datapath, baked integer weights), and LAST the headline
-ResNet-18 FP8 deployment (kept last so the driver's parsed metric stays
-comparable across rounds).  Both sides of every ratio consume bf16 serving
+Emits ONE JSON line per benchmark config — MobileNetV2 FP8 (dw_bf16_acts
+deployment preset), ViT-S/16 FP8 (factored transformer path), ResNet-50
+FP8 (IEEE-f8 interchange storage — the HBM-bound model class), ResNet-18
+INT8 (XLA-native s8 MXU datapath, baked integer weights), and LAST the
+headline ResNet-18 FP8 deployment (kept last so the driver's parsed
+metric stays comparable across rounds).  Both sides of every ratio consume bf16 serving
 input (what a real pipeline delivers; logits bit-identical on the deployed
 config — pinned on CPU).  Each line:
 {"metric", "value", "unit", "vs_baseline", ...} where ``vs_baseline`` is
